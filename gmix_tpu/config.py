@@ -1,0 +1,470 @@
+"""Ensemble specification: the full model wiring as data.
+
+The reference hard-codes its ~121-model ensemble as constructor literals
+(reference: src/predictor.cpp:17-358). Here the wiring is a frozen dataclass
+tree, so test/bench/parity configurations are values, not code forks, and the
+batched kernels are generated from the spec.
+
+Terminology (matching SURVEY.md 2):
+- "context": a uint32 per stream, recomputed at byte boundaries (hashes,
+  intervals, indirect hashes) or per bit (bit_ctx and composites).
+- "indirect model": a (nonstationary, run-map) state-table pair over one
+  context, contributing TWO logit predictions (src/models/indirect.cpp).
+- "match model": history-pointer predictor (src/models/match.cpp).
+- "mixer": one context-gated linear unit in the 3-layer GLN
+  (src/mixer/mixer.cpp).
+
+Built-in context names always available to models:
+  zero, bit_ctx, last_byte, lb_recent, slb_recent, recent_1..recent_9,
+  longest_match, lstm_ctx
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+BUILTIN_CTXS: Tuple[str, ...] = (
+    "zero",
+    "bit_ctx",
+    "last_byte",
+    "lb_recent",
+    "slb_recent",
+    "recent_1",
+    "recent_2",
+    "recent_3",
+    "recent_4",
+    "recent_5",
+    "recent_6",
+    "recent_7",
+    "recent_8",
+    "recent_9",
+    "longest_match",
+    "lstm_ctx",
+)
+
+
+@dataclass(frozen=True)
+class SkipCtx:
+    """Murmur hash of selected recent bytes (src/contexts/skip-context.cpp:9-19).
+
+    offsets[i] is "bytes ago" (0 = last byte); bytes are packed big-endian into
+    a u64 in list order, then hashed.
+    """
+
+    name: str
+    offsets: Tuple[int, ...]
+
+
+@dataclass(frozen=True)
+class IntervalCtx:
+    """Quantised-byte rolling context (src/contexts/interval-context.cpp)."""
+
+    name: str
+    divisor: int  # byte state = byte // divisor
+    num_bits: int  # rolling context width
+
+
+@dataclass(frozen=True)
+class IndirectHashCtx:
+    """History-of-what-followed context (src/contexts/indirect-hash.cpp)."""
+
+    name: str
+    outer_order: int
+    table_bits: int
+    inner_order: int
+
+
+@dataclass(frozen=True)
+class IndirectModel:
+    """Two-state-machine indirect predictor (src/models/indirect.cpp).
+
+    Table size is (1 << table_bits) * 256 + 1 (the +1 breaks byte-context
+    collision alignment, indirect.cpp:15-19).
+    """
+
+    name: str
+    ctx: str
+    table_bits: int
+    lr: float
+
+
+@dataclass(frozen=True)
+class MatchModel:
+    """History-match predictor (src/models/match.cpp). Table size 1<<table_bits."""
+
+    name: str
+    ctx: str
+    table_bits: int
+    limit: int = 400
+
+
+@dataclass(frozen=True)
+class MixerModel:
+    """One gated-linear mixer unit (src/mixer/mixer.cpp). Table size 1<<table_bits."""
+
+    name: str
+    ctx: str
+    lr: float
+    layer: int  # 0, 1, or 2 (final)
+    table_bits: int
+
+
+@dataclass(frozen=True)
+class PpmOrder:
+    ctx: str  # context slot providing the hashed byte context
+    table_bits: int  # 2^bits rows of 256 counts
+
+
+@dataclass(frozen=True)
+class PpmSpec:
+    """Device-native PPM byte model.
+
+    Functional equivalent of the reference's ModPPMD (src/models/mod_ppmd.cpp):
+    produces a 256-way next-byte distribution every byte (consumed by its own
+    bit predictor and as the LSTM's aux input, lstm-model.cpp:21). The
+    reference's 2 GB pointer-chasing suffix-tree suballocator is not
+    expressible in a TPU scan (and a host round-trip per byte would serialise
+    decode), so this is a re-design: hashed fixed-order context tables of
+    uint16 counts with PPM-C style escape blending, all gather/scatter.
+    """
+
+    orders: Tuple[PpmOrder, ...] = (
+        PpmOrder("last_byte", 8),
+        PpmOrder("h2", 16),
+        PpmOrder("h3", 16),
+        PpmOrder("h4", 16),
+        PpmOrder("h6", 16),
+    )
+    inc: int = 4  # count increment per observed byte
+    rescale_total: int = 48000  # halve a row when its total exceeds this
+
+
+@dataclass(frozen=True)
+class LstmSpec:
+    """CIFG LSTM byte model (src/models/lstm-model.cpp:7, lstm-layer.cpp)."""
+
+    num_cells: int = 50
+    horizon: int = 100
+    lr: float = 0.03
+    grad_clip: float = 10.0
+    adam_beta1: float = 0.025
+    adam_beta2: float = 0.9999
+    adam_eps: float = 1e-6
+    update_limit: int = 3000
+    input_size: int = 256  # aux input width (PPM byte distribution)
+    output_size: int = 256
+
+
+@dataclass(frozen=True)
+class EnsembleSpec:
+    skip_ctxs: Tuple[SkipCtx, ...]
+    interval_ctxs: Tuple[IntervalCtx, ...]
+    ihash_ctxs: Tuple[IndirectHashCtx, ...]
+    indirects: Tuple[IndirectModel, ...]
+    matches: Tuple[MatchModel, ...]
+    mixers: Tuple[MixerModel, ...]
+    lstm: Optional[LstmSpec] = LstmSpec()
+    ppm: Optional[PpmSpec] = None  # PPM byte model (feeds ppm_probs)
+    history_bits: int = 24  # dedup history ring size (reference: unbounded)
+
+    @property
+    def use_ppm(self) -> bool:
+        return self.ppm is not None
+
+    # ---- derived helpers ----
+    def ctx_names(self) -> Tuple[str, ...]:
+        names = list(BUILTIN_CTXS)
+        names += [c.name for c in self.skip_ctxs]
+        names += [c.name for c in self.interval_ctxs]
+        names += [c.name for c in self.ihash_ctxs]
+        assert len(names) == len(set(names)), "duplicate context names"
+        return tuple(names)
+
+    def ctx_slot(self, name: str) -> int:
+        return self.ctx_names().index(name)
+
+    @property
+    def num_ctx(self) -> int:
+        return len(self.ctx_names())
+
+    @property
+    def num_predictions(self) -> int:
+        n = 2 * len(self.indirects) + len(self.matches)
+        if self.lstm is not None:
+            n += 1
+        if self.use_ppm:
+            n += 1
+        return n
+
+    # Prediction-column layout: [ppm?, lstm?, indirect pairs..., matches...]
+    @property
+    def ppm_col(self) -> Optional[int]:
+        return 0 if self.use_ppm else None
+
+    @property
+    def lstm_col(self) -> Optional[int]:
+        if self.lstm is None:
+            return None
+        return 1 if self.use_ppm else 0
+
+    @property
+    def ind_col0(self) -> int:
+        return int(self.use_ppm) + int(self.lstm is not None)
+
+    @property
+    def match_col0(self) -> int:
+        return self.ind_col0 + 2 * len(self.indirects)
+
+    @property
+    def skip_connection_cols(self) -> Tuple[int, ...]:
+        """Model columns fed to L1/final mixers directly (reference: LSTM only,
+        src/models/lstm-model.cpp:14)."""
+        return (self.lstm_col,) if self.lstm_col is not None else ()
+
+    def mixers_in_layer(self, layer: int) -> Tuple[MixerModel, ...]:
+        return tuple(m for m in self.mixers if m.layer == layer)
+
+    def mixer_width(self, layer: int) -> int:
+        """Unpadded input width of a layer's weight vectors (mixer.cpp:17-26)."""
+        n0 = len(self.mixers_in_layer(0))
+        n1 = len(self.mixers_in_layer(1))
+        ns = len(self.skip_connection_cols)
+        if layer == 0:
+            return self.num_predictions + n0
+        if layer == 1:
+            return n0 + n1 + ns
+        return n0 + n1 + ns
+
+    def validate(self) -> None:
+        names = set(self.ctx_names())
+        for m in list(self.indirects) + list(self.matches) + list(self.mixers):
+            assert m.ctx in names, f"unknown context {m.ctx!r} in {m.name}"
+        if self.ppm is not None:
+            for o in self.ppm.orders:
+                assert o.ctx in names, f"unknown context {o.ctx!r} in ppm"
+        assert len(self.mixers_in_layer(2)) == 1, "exactly one final mixer required"
+
+    def stable_hash(self) -> int:
+        """Stable 64-bit digest of the spec, embedded in the container format."""
+        blob = json.dumps(dataclasses.asdict(self), sort_keys=True, default=str)
+        return int.from_bytes(hashlib.sha256(blob.encode()).digest()[:8], "little")
+
+
+def scale_tables(spec: EnsembleSpec, max_bits: int, history_bits: Optional[int] = None) -> EnsembleSpec:
+    """Clamp every table size to 2^max_bits entries - the memory knob that
+    trades per-stream state for stream count (SURVEY.md 7, hard part 4)."""
+    return dataclasses.replace(
+        spec,
+        ihash_ctxs=tuple(
+            dataclasses.replace(c, table_bits=min(c.table_bits, max_bits)) for c in spec.ihash_ctxs
+        ),
+        indirects=tuple(
+            dataclasses.replace(m, table_bits=min(m.table_bits, max_bits)) for m in spec.indirects
+        ),
+        matches=tuple(
+            dataclasses.replace(m, table_bits=min(m.table_bits, max_bits)) for m in spec.matches
+        ),
+        mixers=tuple(
+            dataclasses.replace(m, table_bits=min(m.table_bits, max_bits)) for m in spec.mixers
+        ),
+        ppm=dataclasses.replace(
+            spec.ppm,
+            orders=tuple(
+                dataclasses.replace(o, table_bits=min(o.table_bits, max_bits))
+                for o in spec.ppm.orders
+            ),
+        )
+        if spec.ppm is not None
+        else None,
+        history_bits=min(spec.history_bits, history_bits if history_bits is not None else spec.history_bits),
+    )
+
+
+def reference_spec() -> EnsembleSpec:
+    """The full reference ensemble wiring (src/predictor.cpp:17-358):
+    41 indirect models (82 predictions), 6 match models, LSTM, 24+8+1 mixers.
+    PPM is a separate flag (round-1: disabled; ppm_probs stays uniform, which
+    only changes the LSTM aux input from the reference, not the architecture).
+    """
+    skips = (
+        # consecutive-byte hashes (predictor.cpp:84-107)
+        SkipCtx("h2", (0, 1)),
+        SkipCtx("h3", (0, 1, 2)),
+        SkipCtx("h4", (0, 1, 2, 3)),
+        SkipCtx("h5", (0, 1, 2, 3, 4)),
+        SkipCtx("h6", (0, 1, 2, 3, 4, 5)),
+        # skip patterns (predictor.cpp:122-185)
+        SkipCtx("skip_1_2", (1, 2)),
+        SkipCtx("skip_1_2_3", (1, 2, 3)),
+        SkipCtx("skip_0_2", (0, 2)),
+        SkipCtx("skip_0_2_3", (0, 2, 3)),
+        SkipCtx("skip_1_2_3_4", (1, 2, 3, 4)),
+        SkipCtx("skip_0_3", (0, 3)),
+        SkipCtx("skip_0_4", (0, 4)),
+        SkipCtx("skip_0_5", (0, 5)),
+        SkipCtx("skip_0_2_3_4", (0, 2, 3, 4)),
+        SkipCtx("skip_0_3_4", (0, 3, 4)),
+        SkipCtx("skip_0_6", (0, 6)),
+        SkipCtx("skip_0_7", (0, 7)),
+        SkipCtx("skip_0_1_3_4", (0, 1, 3, 4)),
+        SkipCtx("skip_0_4_5", (0, 4, 5)),
+        SkipCtx("skip_0_1_2_4", (0, 1, 2, 4)),
+    )
+    intervals = tuple(
+        IntervalCtx(f"int_{d}_{b}", d, b)
+        for d, bs in ((16, (4, 8, 12)), (32, (3, 6, 12)), (64, (4, 8, 12)))
+        for b in bs
+    )  # predictor.cpp:54-76
+    ihashes = (
+        IndirectHashCtx("ih_1_8_1", 1, 8, 1),
+        IndirectHashCtx("ih_1_8_2", 1, 8, 2),
+        IndirectHashCtx("ih_1_8_3", 1, 8, 3),
+        IndirectHashCtx("ih_2_16_1", 2, 16, 1),
+        IndirectHashCtx("ih_2_16_2", 2, 16, 2),
+        IndirectHashCtx("ih_2_16_3", 2, 16, 3),
+        IndirectHashCtx("ih_3_24_1", 3, 24, 1),
+        IndirectHashCtx("ih_4_24_2", 4, 24, 2),
+        IndirectHashCtx("ih_4_24_3", 4, 24, 3),
+    )  # predictor.cpp:213-248
+
+    lr_d = 0.02  # direct/skip indirect lr (predictor.cpp:79, 123)
+    lr_i = 1.0 / 200  # double-indirect lr (predictor.cpp:211)
+    indirects = (
+        (
+            IndirectModel("ind_1b", "last_byte", 8, lr_d),
+            IndirectModel("ind_2b", "h2", 16, lr_d),
+            IndirectModel("ind_3b_15", "h3", 15, lr_d),
+            IndirectModel("ind_3b_16", "h3", 16, lr_d),
+            IndirectModel("ind_4b_15", "h4", 15, lr_d),
+            IndirectModel("ind_5b_15", "h5", 15, lr_d),
+            IndirectModel("ind_6b_15", "h6", 15, lr_d),
+        )
+        + tuple(IndirectModel(f"ind_recent_{i}", f"recent_{i}", 8, lr_d) for i in range(1, 10))
+        + (IndirectModel("ind_lstm", "lstm_ctx", 8, lr_d),)
+        + tuple(
+            IndirectModel(f"ind_{s.name}", s.name, 16, lr_d)
+            for s in skips
+            if s.name.startswith("skip_")
+        )
+        + tuple(IndirectModel(f"ind_{c.name}", c.name, tb, lr_i) for c, tb in zip(ihashes, (8, 16, 15, 8, 16, 15, 8, 16, 15)))
+    )
+    matches = (
+        MatchModel("match_1b", "last_byte", 8),
+        MatchModel("match_2b", "h2", 16),
+        MatchModel("match_3b", "h3", 24),
+        MatchModel("match_4b", "h4", 21),
+        MatchModel("match_5b", "h5", 21),
+        MatchModel("match_6b", "h6", 21),
+    )  # predictor.cpp:187-208
+    mixers = tuple(
+        MixerModel(f"mix0_{i}", ctx, lr, 0, tb)
+        for i, (ctx, lr, tb) in enumerate(
+            (
+                ("last_byte", 0.005, 8),
+                ("recent_3", 0.0055, 8),
+                ("slb_recent", 0.003, 16),
+                ("h4", 0.0045, 15),
+                ("ih_3_24_1", 0.006, 8),
+                ("recent_1", 0.004, 8),
+                ("longest_match", 0.0005, 3),
+                ("h2", 0.0035, 16),
+                ("recent_2", 0.0065, 8),
+                ("h3", 0.0025, 15),
+                ("last_byte", 0.001, 8),
+                ("lb_recent", 0.002, 16),
+                ("int_16_4", 0.005, 4),
+                ("int_16_8", 0.0045, 8),
+                ("int_16_12", 0.0055, 12),
+                ("int_32_3", 0.004, 3),
+                ("int_32_6", 0.0035, 6),
+                ("skip_0_2", 0.006, 16),
+                ("int_32_12", 0.003, 12),
+                ("int_64_4", 0.0065, 4),
+                ("int_64_8", 0.003, 8),
+                ("int_64_12", 0.0025, 12),
+                ("lstm_ctx", 0.002, 8),
+                ("zero", 0.0005, 0),
+            )
+        )
+    ) + tuple(
+        MixerModel(f"mix1_{i}", ctx, lr, 1, tb)
+        for i, (ctx, lr, tb) in enumerate(
+            (
+                ("recent_1", 0.0045, 8),
+                ("zero", 0.0035, 0),
+                ("bit_ctx", 0.003, 8),
+                ("recent_2", 0.002, 8),
+                ("last_byte", 0.0025, 8),
+                ("bit_ctx", 0.00001, 8),
+                ("longest_match", 0.0008, 3),
+                ("zero", 0.0004, 0),
+            )
+        )
+    ) + (
+        MixerModel("mix_final", "zero", 0.0005, 2, 0),
+    )  # predictor.cpp:251-358
+
+    spec = EnsembleSpec(
+        skip_ctxs=skips,
+        interval_ctxs=intervals,
+        ihash_ctxs=ihashes,
+        indirects=indirects,
+        matches=matches,
+        mixers=mixers,
+        lstm=LstmSpec(),
+        ppm=PpmSpec(),
+        history_bits=24,
+    )
+    spec.validate()
+    return spec
+
+
+def tiny_spec(with_lstm: bool = False) -> EnsembleSpec:
+    """A small-but-representative spec for unit tests: every model kind and
+    every context kind is exercised, with tiny tables."""
+    skips = (
+        SkipCtx("h2", (0, 1)),
+        SkipCtx("h3", (0, 1, 2)),
+        SkipCtx("skip_0_2", (0, 2)),
+    )
+    intervals = (IntervalCtx("int_16_4", 16, 4),)
+    ihashes = (IndirectHashCtx("ih_1_6_1", 1, 6, 1),)
+    indirects = (
+        IndirectModel("ind_1b", "last_byte", 4, 0.02),
+        IndirectModel("ind_2b", "h2", 6, 0.02),
+        IndirectModel("ind_3b", "h3", 6, 0.02),
+        IndirectModel("ind_skip", "skip_0_2", 6, 0.02),
+        IndirectModel("ind_ih", "ih_1_6_1", 4, 1.0 / 200),
+        IndirectModel("ind_recent_1", "recent_1", 4, 0.02),
+    )
+    matches = (
+        MatchModel("match_2b", "h2", 8),
+        MatchModel("match_3b", "h3", 8),
+    )
+    mixers = (
+        MixerModel("mix0_0", "last_byte", 0.005, 0, 8),
+        MixerModel("mix0_1", "h2", 0.0035, 0, 8),
+        MixerModel("mix0_2", "int_16_4", 0.005, 0, 4),
+        MixerModel("mix0_3", "zero", 0.0005, 0, 0),
+        MixerModel("mix1_0", "bit_ctx", 0.003, 1, 8),
+        MixerModel("mix1_1", "zero", 0.0035, 1, 0),
+        MixerModel("mix_final", "zero", 0.0005, 2, 0),
+    )
+    spec = EnsembleSpec(
+        skip_ctxs=skips,
+        interval_ctxs=intervals,
+        ihash_ctxs=ihashes,
+        indirects=indirects,
+        matches=matches,
+        mixers=mixers,
+        lstm=LstmSpec(num_cells=16, horizon=10, update_limit=30) if with_lstm else None,
+        ppm=PpmSpec(orders=(PpmOrder("last_byte", 4), PpmOrder("h2", 6)))
+        if with_lstm
+        else None,
+        history_bits=12,
+    )
+    spec.validate()
+    return spec

@@ -1,0 +1,284 @@
+"""Host-side codec driver: container format, chunked scans, flush, generation.
+
+File-level parallelism model (SURVEY.md 2 "parallelism inventory"): the input
+is split into `num_streams` contiguous blocks, each compressed by an
+independent model replica (one lane of every batched state array). This is the
+gmix-native analogue of sequence parallelism; chips/hosts then shard the
+stream axis (gmix_tpu.parallel). Outputs are gathered in order with per-stream
+sizes in the header, generalising the reference's 5-byte length framing
+(src/runner/runner-utils.cpp:22-36).
+
+Streams are padded to a common length that is a multiple of the scan chunk, so
+exactly one compiled program shape covers the whole file and no per-bit
+validity masking exists anywhere (padding zeros cost a few output bytes).
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EnsembleSpec
+from ..ops import coder as coder_ops
+from ..state import init_state, state_bytes
+from ..utils.serialization import copy_state, load_state, save_state
+from .meta import Meta, build_meta
+from .step import get_chunk_fn, get_gen_chunk_fn
+
+MAGIC = b"GXTC"
+VERSION = 1
+# worst-case output bytes per input byte (4 renorm bytes * 8 bits + slack)
+_WORST_PER_BYTE = 33
+
+
+class Predictor:
+    """Owns the batched model state for S streams + compiled chunk programs.
+
+    The reference Predictor (src/predictor.h:20-56) holds ~121 model objects;
+    here the ensemble lives in the spec and the state pytree, and this class
+    is the lifecycle/checkpoint/compile-cache wrapper.
+    """
+
+    def __init__(
+        self,
+        spec: EnsembleSpec,
+        num_streams: int = 1,
+        seed: int = 0xDEADBEEF,
+        sharding=None,
+    ):
+        self.spec = spec
+        self.meta: Meta = build_meta(spec)
+        self.num_streams = num_streams
+        self.seed = seed
+        self.sharding = sharding
+        self.state = init_state(self.meta, num_streams, seed)
+        if sharding is not None:
+            self.state = jax.device_put(self.state, sharding)
+
+    def chunk_fn(self, n: int):
+        return get_chunk_fn(self.spec, n)
+
+    def gen_fn(self, n: int):
+        return get_gen_chunk_fn(self.spec, n)
+
+    # --- checkpoint / copy (contract: tester.cpp invariants 2-3) ---
+    def save(self, path: str) -> None:
+        save_state(path, self.state)
+
+    def load(self, path: str) -> None:
+        loaded = load_state(path)
+        # shape-check against current state to catch spec mismatches early
+        cur = jax.tree_util.tree_leaves(self.state)
+        new = jax.tree_util.tree_leaves(loaded)
+        assert len(cur) == len(new), "checkpoint does not match spec"
+        for a, b in zip(cur, new):
+            assert a.shape == b.shape and a.dtype == b.dtype, (
+                f"checkpoint mismatch: {a.shape}/{a.dtype} vs {b.shape}/{b.dtype}"
+            )
+        self.state = jax.device_put(loaded, self.sharding) if self.sharding else jax.tree_util.tree_map(jnp.asarray, loaded)
+
+    def copy(self) -> "Predictor":
+        p = object.__new__(Predictor)
+        p.spec, p.meta, p.num_streams, p.seed = self.spec, self.meta, self.num_streams, self.seed
+        p.sharding = self.sharding
+        p.state = copy_state(self.state)
+        return p
+
+    def memory_bytes(self) -> int:
+        return state_bytes(self.state)
+
+
+@dataclass
+class CodecResult:
+    payloads: list  # list[bytes] per stream
+    entropy_bits: float  # total cross-entropy over all coded bits
+
+
+def _pad_streams(data: bytes, num_streams: int, chunk: int):
+    orig = len(data)
+    per = -(-max(orig, 1) // num_streams)  # ceil, >=1
+    per = -(-per // chunk) * chunk  # round up to chunk multiple
+    arr = np.zeros((num_streams, per), np.uint8)
+    flat = np.frombuffer(data, np.uint8)
+    for s in range(num_streams):
+        seg = flat[s * per : (s + 1) * per]
+        arr[s, : len(seg)] = seg
+    return arr, per
+
+
+def run_chunks(
+    pred: Predictor,
+    data_buf,
+    code_buf,
+    n_bytes: int,
+    decode: bool,
+    learn: bool = True,
+    t0: int = 0,
+    chunk: int = 4096,
+    progress=None,
+):
+    """Drive the jitted chunk program over [t0, t0+n_bytes). Buffers stay on
+    device across chunks; returns (data_buf, code_buf)."""
+    assert n_bytes % chunk == 0, "n_bytes must be a chunk multiple"
+    fn = pred.chunk_fn(chunk)
+    cap = code_buf.shape[1]
+    dec = jnp.asarray(bool(decode))
+    lrn = jnp.asarray(1.0 if learn else 0.0, jnp.float32)
+    for t in range(t0, t0 + n_bytes, chunk):
+        pred.state, data_buf, code_buf = fn(
+            pred.state, data_buf, code_buf, jnp.int32(t), dec, lrn
+        )
+        if not decode:
+            wpos = int(jax.device_get(jnp.max(pred.state["coder"]["wpos"])))
+            if wpos + _WORST_PER_BYTE * chunk > cap and t + chunk < t0 + n_bytes:
+                raise RuntimeError(
+                    f"code buffer too small (wpos={wpos}, cap={cap}); "
+                    "increase the capacity factor"
+                )
+        if progress is not None:
+            progress(t + chunk)
+    return data_buf, code_buf
+
+
+def compress_bytes(
+    data: bytes,
+    spec: EnsembleSpec,
+    num_streams: int = 1,
+    chunk: int = 4096,
+    pred: Optional[Predictor] = None,
+    progress=None,
+) -> bytes:
+    """Full-file compression into the GXTC container."""
+    orig = len(data)
+    if orig == 0:
+        return MAGIC + struct.pack("<BBHQQQQ", VERSION, 0, num_streams, 0, 0, spec.stable_hash(), 0)
+    arr, per = _pad_streams(data, num_streams, chunk)
+    S = num_streams
+    if pred is None:
+        pred = Predictor(spec, S)
+    cap = int(per + per // 2 + _WORST_PER_BYTE * chunk + 4096)
+    data_buf = jnp.asarray(arr)
+    code_buf = jnp.zeros((S, cap), jnp.uint8)
+    if pred.sharding is not None:
+        data_buf = jax.device_put(data_buf, pred.sharding)
+        code_buf = jax.device_put(code_buf, pred.sharding)
+    data_buf, code_buf = run_chunks(
+        pred, data_buf, code_buf, per, decode=False, chunk=chunk, progress=progress
+    )
+    coder = jax.device_get(pred.state["coder"])
+    codes_np = np.asarray(jax.device_get(code_buf))
+    tails = coder_ops.flush_bytes(coder["x1"], coder["x2"])
+    payloads = [
+        codes_np[s, : int(coder["wpos"][s])].tobytes() + tails[s] for s in range(S)
+    ]
+    header = MAGIC + struct.pack(
+        "<BBHQQQQ", VERSION, 0, S, orig, per, spec.stable_hash(), 0
+    )
+    sizes = struct.pack(f"<{S}Q", *[len(p) for p in payloads])
+    return header + sizes + b"".join(payloads)
+
+
+def decompress_bytes(
+    blob: bytes,
+    spec: EnsembleSpec,
+    chunk: int = 4096,
+    pred: Optional[Predictor] = None,
+    progress=None,
+) -> bytes:
+    assert blob[:4] == MAGIC, "bad magic"
+    ver, _flags, S, orig, per, spec_hash, _rsv = struct.unpack("<BBHQQQQ", blob[4:40])
+    assert ver == VERSION
+    assert spec_hash == spec.stable_hash(), "spec mismatch: wrong profile for this archive"
+    if orig == 0:
+        return b""
+    off = 40
+    sizes = struct.unpack(f"<{S}Q", blob[off : off + 8 * S])
+    off += 8 * S
+    payloads = []
+    for sz in sizes:
+        payloads.append(blob[off : off + sz])
+        off += sz
+    if pred is None:
+        pred = Predictor(spec, S)
+    # SAME capacity formula as compress_bytes: encode and decode then share one
+    # compiled program shape (the first TPU compile is minutes via the tunnel)
+    cap = int(per + per // 2 + _WORST_PER_BYTE * chunk + 4096)
+    assert max(sizes) + 8 <= cap
+    codes = np.zeros((S, cap), np.uint8)
+    for s, p in enumerate(payloads):
+        codes[s, : len(p)] = np.frombuffer(p, np.uint8)
+    # prime the decoder window with the first 4 code bytes (decoder.cpp:5-8)
+    x0 = np.zeros((S,), np.uint32)
+    for s in range(S):
+        for i in range(4):
+            x0[s] = (x0[s] << np.uint32(8)) | np.uint32(codes[s, i] if i < cap else 0)
+    st = pred.state
+    st = dict(st)
+    st["coder"] = dict(st["coder"])
+    st["coder"]["x"] = jnp.asarray(x0)
+    st["coder"]["rpos"] = jnp.full((S,), 4, jnp.uint32)
+    pred.state = st
+    data_buf = jnp.zeros((S, per), jnp.uint8)
+    code_buf = jnp.asarray(codes)
+    if pred.sharding is not None:
+        data_buf = jax.device_put(data_buf, pred.sharding)
+        code_buf = jax.device_put(code_buf, pred.sharding)
+    data_buf, code_buf = run_chunks(
+        pred, data_buf, code_buf, per, decode=True, chunk=chunk, progress=progress
+    )
+    out = np.asarray(jax.device_get(data_buf)).reshape(-1)[:orig]
+    return out.tobytes()
+
+
+def generate_bytes(
+    pred: Predictor,
+    prompt: bytes,
+    out_size: int,
+    temperature: float = 1.0,
+    chunk: int = 256,
+    seed: int = 1234,
+    progress=None,
+) -> bytes:
+    """Learning-disabled temperature sampling (runner-utils.cpp:158-221).
+
+    The prompt is replayed WITH learning (the reference learns during the
+    prompt, runner-utils.cpp:187-194); sampling then runs with every Learn
+    gated off, so long-term memory is provably frozen (tester invariant 5).
+    Batched: generates num_streams independent samples; returns stream 0's
+    bytes (all samples are available via the returned data buffer if needed).
+    """
+    S = pred.num_streams
+    temperature = max(temperature, 0.001)
+    # --- prompt replay (encode mode, learning on; code output discarded) ---
+    if prompt:
+        arr, per = _pad_streams(prompt, 1, chunk)
+        arr = np.broadcast_to(arr, (S, per)).copy()
+        cap = int(per * 2 + _WORST_PER_BYTE * chunk + 4096)
+        data_buf = jnp.asarray(arr)
+        code_buf = jnp.zeros((S, cap), jnp.uint8)
+        run_chunks(pred, data_buf, code_buf, per, decode=False, chunk=chunk)
+        t0 = per
+    else:
+        t0 = 0
+    # --- sampling ---
+    n = -(-out_size // chunk) * chunk
+    fn = pred.gen_fn(chunk)
+    data_buf = jnp.zeros((S, t0 + n), jnp.uint8)
+    key = jax.random.PRNGKey(seed)
+    inv_temp = jnp.float32(1.0 / temperature)
+    for t in range(t0, t0 + n, chunk):
+        key, sub = jax.random.split(key)
+        u = jax.random.uniform(sub, (chunk * 8, S), jnp.float32)
+        pred.state, data_buf = fn(pred.state, data_buf, jnp.int32(t), u, inv_temp)
+        if progress is not None:
+            progress(t - t0 + chunk)
+    out = np.asarray(jax.device_get(data_buf))
+    return out[0, t0 : t0 + out_size].tobytes()
+
+
+def entropy_bits(pred: Predictor) -> float:
+    return float(np.sum(jax.device_get(pred.state["metrics"]["ent"])))
