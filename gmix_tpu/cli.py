@@ -79,7 +79,25 @@ def main(argv=None):
     pg.add_argument("size", type=int)
     pg.add_argument("temperature", type=float)
 
+    # dictionary transform (reference: dictionary-prep -e/-d)
+    for name in ("dict-encode", "dict-decode"):
+        pde = sub.add_parser(name)
+        pde.add_argument("--dictionary", default="/root/reference/dictionary/english.dic")
+        pde.add_argument("input")
+        pde.add_argument("output")
+
     args = p.parse_args(argv)
+
+    if args.cmd in ("dict-encode", "dict-decode"):
+        from .preprocess import dictionary as D
+
+        d = D.load(args.dictionary)
+        data = open(args.input, "rb").read()
+        out = d.encode(data) if args.cmd == "dict-encode" else d.decode(data)
+        open(args.output, "wb").write(out)
+        print(f"{len(data)} -> {len(out)} bytes")
+        return 0
+
     spec = _spec(args)
 
     from .core.codec import (

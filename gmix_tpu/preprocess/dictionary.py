@@ -1,0 +1,296 @@
+"""cmix-style word-replacing dictionary transform.
+
+Behavioural re-implementation of the reference preprocessor
+(src/preprocess/dictionary.cpp): a ~44k-word English dictionary is mapped to
+1-3 byte codes >= 0x80 in frequency bands of 80/3840/40960 words;
+capitalisation is factored out with kCapitalized/kUppercase/kEndUpper control
+bytes, "&quot;" gets a dedicated token, control/high bytes are escaped, and
+unknown words >= 8 chars fall back to longest dictionary suffix/prefix
+matches (dictionary.cpp:163-192).
+
+Two interchangeable engines:
+- a pure-Python engine (always available, used for tests/small files);
+- a native C++ engine (gmix_tpu/preprocess/native/dictionary.cc) compiled on
+  first use with g++ and loaded via ctypes, for production-size inputs.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Optional, Tuple
+
+K_CAPITALIZED = 0x40
+K_UPPERCASE = 0x07
+K_END_UPPER = 0x06
+K_ESCAPE = 0x0C
+K_QUOTE = 0x08
+QUOTE_STR = b"&quot;"
+
+_B1, _B2, _B3, _B4 = 80, 80 + 3840, 80 + 3840 + 40960, 80 + 3840 + 40960 + 81920
+
+
+def _word_code(i: int) -> bytes:
+    """Band encoding of dictionary line i (dictionary.cpp:56-69)."""
+    if i < _B1:
+        return bytes([0x80 + i])
+    if i < _B2:
+        j = i - _B1
+        return bytes([0xD0 + j // 80, 0x80 + j % 80])
+    if i < _B3:
+        j = i - _B2
+        return bytes([0xF0 + (j // 80) // 32, 0xD0 + (j // 80) % 32, 0x80 + j % 80])
+    if i < _B4:
+        j = i - _B2
+        return bytes([0xD0 + (j // 80) // 32, 0xD0 + (j // 80) % 32, 0x80 + j % 80])
+    raise ValueError("dictionary too large")
+
+
+class Dictionary:
+    def __init__(self, dict_bytes: bytes):
+        self.byte_map: Dict[bytes, bytes] = {}
+        self.reverse_map: Dict[bytes, bytes] = {}
+        self.longest = 0
+        word = bytearray()
+        count = 0
+        for c in dict_bytes + b"\n":
+            if ord("a") <= c <= ord("z"):
+                word.append(c)
+            elif word:
+                w = bytes(word)
+                self.longest = max(self.longest, len(w))
+                code = _word_code(count)
+                self.byte_map[w] = code
+                self.reverse_map[code] = w
+                count += 1
+                word.clear()
+
+    # --- encode -----------------------------------------------------------
+    def _emit_byte(self, c: int, out: bytearray) -> None:
+        if c in (K_END_UPPER, K_ESCAPE, K_UPPERCASE, K_CAPITALIZED, K_QUOTE) or c >= 0x80:
+            out.append(K_ESCAPE)
+        out.append(c)
+
+    def _emit_word(self, word: bytes, num_upper: int, next_lower: bool, out: bytearray) -> None:
+        if num_upper > 1:
+            out.append(K_UPPERCASE)
+        elif num_upper == 1:
+            out.append(K_CAPITALIZED)
+        code = self.byte_map.get(word)
+        if code is not None:
+            out += code
+        elif not self._emit_substring(word, out):
+            out += word
+        if num_upper > 1 and next_lower:
+            out.append(K_END_UPPER)
+
+    def _emit_substring(self, word: bytes, out: bytearray) -> bool:
+        if len(word) <= 7:
+            return False
+        size = min(len(word) - 1, self.longest)
+        suffix = word[len(word) - size :]
+        while len(suffix) >= 7:
+            code = self.byte_map.get(suffix)
+            if code is not None:
+                out += word[: len(word) - len(suffix)]
+                out += code
+                return True
+            suffix = suffix[1:]
+        prefix = word[:size]
+        while len(prefix) >= 7:
+            code = self.byte_map.get(prefix)
+            if code is not None:
+                out += code
+                out += word[len(prefix) :]
+                return True
+            prefix = prefix[:-1]
+        return False
+
+    def encode(self, data: bytes) -> bytes:
+        out = bytearray()
+        word = bytearray()
+        num_upper = num_lower = quote_state = 0
+        n = len(data)
+        for pos in range(n):
+            c = data[pos]
+            if c == QUOTE_STR[quote_state]:
+                quote_state += 1
+                if quote_state == 6:
+                    out.append(K_QUOTE)
+                    num_upper = num_lower = 0
+                    word.clear()
+                    quote_state = 0
+                    continue
+            else:
+                quote_state = 0
+            advance = False
+            if len(word) > self.longest:
+                advance = True
+            elif ord("a") <= c <= ord("z"):
+                if num_upper > 1:
+                    advance = True
+                else:
+                    num_lower += 1
+                    word.append(c)
+            elif ord("A") <= c <= ord("Z"):
+                if num_lower > 0:
+                    advance = True
+                else:
+                    num_upper += 1
+                    word.append(c - ord("A") + ord("a"))
+            else:
+                advance = True
+            if pos == n - 1 and not advance:
+                self._emit_word(bytes(word), num_upper, False, out)
+            if advance:
+                if not word:
+                    self._emit_byte(c, out)
+                else:
+                    next_lower = ord("a") <= c <= ord("z")
+                    self._emit_word(bytes(word), num_upper, next_lower, out)
+                    num_lower = num_upper = 0
+                    word.clear()
+                    if next_lower:
+                        num_lower += 1
+                        word.append(c)
+                    elif ord("A") <= c <= ord("Z"):
+                        num_upper += 1
+                        word.append(c - ord("A") + ord("a"))
+                    else:
+                        self._emit_byte(c, out)
+                    if pos == n - 1 and word:
+                        self._emit_word(bytes(word), num_upper, False, out)
+        return bytes(out)
+
+    # --- decode -----------------------------------------------------------
+    def decode(self, data: bytes) -> bytes:
+        out = bytearray()
+        upper = capital = False
+        i = 0
+        n = len(data)
+        while i < n:
+            c = data[i]
+            i += 1
+            if c == K_ESCAPE:
+                upper = False
+                if i < n:
+                    out.append(data[i])
+                    i += 1
+            elif c == K_QUOTE:
+                out += QUOTE_STR[1:]
+            elif c == K_UPPERCASE:
+                upper = True
+            elif c == K_CAPITALIZED:
+                capital = True
+            elif c == K_END_UPPER:
+                upper = False
+            elif c >= 0x80:
+                code = bytes([c])
+                if c > 0xCF and i < n:
+                    c2 = data[i]
+                    i += 1
+                    code += bytes([c2])
+                    if c2 > 0xCF and i < n:
+                        code += bytes([data[i]])
+                        i += 1
+                word = bytearray(self.reverse_map.get(code, b""))
+                for k in range(len(word)):
+                    if k == 0 and capital:
+                        word[k] = word[k] - ord("a") + ord("A")
+                        capital = False
+                    if upper:
+                        word[k] = word[k] - ord("a") + ord("A")
+                out += word
+            else:
+                if not (ord("a") <= c <= ord("z") or ord("A") <= c <= ord("Z")):
+                    upper = False
+                if capital or upper:
+                    c = c - ord("a") + ord("A")
+                if capital:
+                    capital = False
+                out.append(c)
+        return bytes(out)
+
+
+# --- native engine ---------------------------------------------------------
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    so = os.path.join(_NATIVE_DIR, "libgmixdict.so")
+    src = os.path.join(_NATIVE_DIR, "dictionary.cc")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        try:
+            subprocess.run(
+                ["g++", "-std=c++17", "-O2", "-fPIC", "-shared", src, "-o", so],
+                check=True, capture_output=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.gd_new.restype = ctypes.c_void_p
+    lib.gd_new.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.gd_free.argtypes = [ctypes.c_void_p]
+    for fn in (lib.gd_encode, lib.gd_decode):
+        fn.restype = ctypes.c_longlong
+        fn.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+        ]
+    _lib = lib
+    return lib
+
+
+class NativeDictionary:
+    """ctypes wrapper over the C++ engine; falls back to None if unbuildable."""
+
+    def __init__(self, dict_bytes: bytes):
+        lib = _load_native()
+        if lib is None:
+            raise RuntimeError("native dictionary engine unavailable")
+        self._lib = lib
+        self._h = lib.gd_new(dict_bytes, len(dict_bytes))
+
+    def __del__(self):
+        try:
+            self._lib.gd_free(self._h)
+        except Exception:
+            pass
+
+    def _run(self, fn, data: bytes, factor: int) -> bytes:
+        cap = len(data) * factor + 1024
+        out = ctypes.create_string_buffer(cap)
+        got = fn(self._h, data, len(data), out, cap)
+        if got < 0:
+            raise RuntimeError("native dictionary buffer overflow")
+        return out.raw[:got]
+
+    def encode(self, data: bytes) -> bytes:
+        return self._run(self._lib.gd_encode, data, 3)
+
+    def decode(self, data: bytes) -> bytes:
+        return self._run(self._lib.gd_decode, data, 40)
+
+
+def load(path: Optional[str] = None, native: bool = True):
+    """Load the english dictionary transform (reference asset by default)."""
+    if path is None:
+        path = "/root/reference/dictionary/english.dic"
+    data = open(path, "rb").read()
+    if native:
+        try:
+            return NativeDictionary(data)
+        except RuntimeError:
+            pass
+    return Dictionary(data)
