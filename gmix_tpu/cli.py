@@ -86,7 +86,33 @@ def main(argv=None):
         pde.add_argument("input")
         pde.add_argument("output")
 
+    # enwik9 STARLIT-pipeline equivalent (reference: enwik9-prep c/d)
+    pw = sub.add_parser("wiki-encode")
+    pw.add_argument("--order", default=None,
+                    help="similarity-order file (default: the reference asset)")
+    pw.add_argument("--no-verify", action="store_true",
+                    help="skip the decode(encode(x))==x self-check")
+    pw.add_argument("input")
+    pw.add_argument("output")
+    pwd = sub.add_parser("wiki-decode")
+    pwd.add_argument("input")
+    pwd.add_argument("output")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "wiki-encode":
+        from .preprocess import wiki
+
+        n = wiki.encode_file(args.input, args.output, order_path=args.order,
+                             verify=not args.no_verify)
+        print(f"{os.path.getsize(args.input)} -> {n} bytes")
+        return 0
+    if args.cmd == "wiki-decode":
+        from .preprocess import wiki
+
+        n = wiki.decode_file(args.input, args.output)
+        print(f"{os.path.getsize(args.input)} -> {n} bytes")
+        return 0
 
     if args.cmd in ("dict-encode", "dict-decode"):
         from .preprocess import dictionary as D
