@@ -56,6 +56,9 @@ def main(argv=None):
 
     pc = sub.add_parser("compress")
     pc.add_argument("-k", "--checkpoint", default=None)
+    pc.add_argument("--analysis", default=None, metavar="DIR",
+                    help="write per-model entropy.tsv + memory.tsv to DIR "
+                         "(reference: Predictor::EnableAnalysis)")
     pc.add_argument("input")
     pc.add_argument("output")
 
@@ -140,8 +143,28 @@ def main(argv=None):
         pred = Predictor(spec, args.streams, args.seed)
         if args.checkpoint:
             pred.load(args.checkpoint)
+        progress = _progress(len(data) // max(args.streams, 1), "compress")
+        if args.analysis:
+            from .core.codec import analysis_columns, analysis_snapshot, memory_report
+
+            os.makedirs(args.analysis, exist_ok=True)
+            with open(os.path.join(args.analysis, "memory.tsv"), "w") as f:
+                f.write("component\tbytes\n")
+                for name, nbytes in memory_report(pred):
+                    f.write(f"{name}\t{nbytes}\n")
+                f.write(f"TOTAL\t{pred.memory_bytes()}\n")
+            ent_f = open(os.path.join(args.analysis, "entropy.tsv"), "w")
+            ent_f.write("bytes\t" + "\t".join(analysis_columns(spec)) + "\n")
+            base_progress = progress
+
+            def progress(done, _pred=pred, _f=ent_f):
+                base_progress(done)
+                row = analysis_snapshot(_pred).mean(axis=0)
+                _f.write(f"{done}\t" + "\t".join(f"{v:.5f}" for v in row) + "\n")
+                _f.flush()
+
         blob = compress_bytes(data, spec, args.streams, args.chunk, pred=pred,
-                              progress=_progress(len(data) // max(args.streams, 1), "compress"))
+                              progress=progress)
         open(args.output, "wb").write(blob)
         ent = entropy_bits(pred) / max(len(data), 1)
         sys.stderr.write("\n")

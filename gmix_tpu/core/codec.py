@@ -282,3 +282,25 @@ def generate_bytes(
 
 def entropy_bits(pred: Predictor) -> float:
     return float(np.sum(jax.device_get(pred.state["metrics"]["ent"])))
+
+
+def analysis_columns(spec: EnsembleSpec):
+    from .meta import analysis_names
+
+    return analysis_names(spec)
+
+
+def analysis_snapshot(pred: Predictor) -> np.ndarray:
+    """(S, C) per-column entropy EMA in bits (reference: analysis/entropy.tsv,
+    predictor.cpp:471-503)."""
+    return np.asarray(jax.device_get(pred.state["metrics"]["ema"]))
+
+
+def memory_report(pred: Predictor):
+    """(component, bytes) rows (reference: analysis/memory.tsv via
+    Model::GetMemoryUsage, predictor.cpp:488-503). Dense allocation makes the
+    sizes static per spec."""
+    rows = []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(pred.state):
+        rows.append((jax.tree_util.keystr(path), leaf.size * leaf.dtype.itemsize))
+    return rows

@@ -86,6 +86,24 @@ class Meta:
     ppm_bits: Tuple[int, ...]
 
 
+def analysis_names(spec: EnsembleSpec) -> List[str]:
+    """Column names of the per-bit analysis EMA (reference: EnableAnalysis /
+    UpdateEntropy, predictor.cpp:422-469): one per prediction column, one per
+    mixer output (L0/L1), and the final output."""
+    names: List[str] = []
+    if spec.use_ppm:
+        names.append("ppm")
+    if spec.lstm is not None:
+        names.append("lstm")
+    for m in spec.indirects:
+        names += [f"{m.name}.ns", f"{m.name}.rm"]
+    names += [m.name for m in spec.matches]
+    names += [m.name for m in spec.mixers_in_layer(0)]
+    names += [m.name for m in spec.mixers_in_layer(1)]
+    names.append("final")
+    return names
+
+
 def build_meta(spec: EnsembleSpec) -> Meta:
     spec.validate()
     names = spec.ctx_names()
@@ -98,10 +116,16 @@ def build_meta(spec: EnsembleSpec) -> Meta:
     ind_buckets = []
     for tb in sorted(by_bits):
         idxs = tuple(by_bits[tb])
+        # NOTE: the reference sizes these tables (1<<tb)*256 + 1 to break
+        # modular collision alignment (indirect.cpp:15-19). An odd-sized table
+        # blocks XLA:TPU's vectorized scatter emitter (it falls back to a
+        # serialized slab-copy loop, ~20x whole-program slowdown), so we keep
+        # the table a power of two; contexts are murmur-hashed already, which
+        # provides the decorrelation the +1 was for.
         ind_buckets.append(
             IndBucket(
                 table_bits=tb,
-                table_size=(1 << tb) * 256 + 1,
+                table_size=(1 << tb) * 256,
                 model_idxs=idxs,
                 ctx_slots=np.array([slots[spec.indirects[i].ctx] for i in idxs], np.int32),
                 lrs=np.array([spec.indirects[i].lr for i in idxs], np.float32),

@@ -450,20 +450,24 @@ def _bit_step(
     rm_next = jnp.asarray(_RM_NEXT)
 
     # ---- indirect models: bucketed gather (indirect.cpp:28-45) ----
+    # per bucket: paired u8 state tables + combined state->logit table
     for b in meta.ind_buckets:
         key = f"b{b.table_bits}"
         mem = ltm["ind"][key]
-        M = len(b.model_idxs)
-        m_ix = jnp.arange(M)[None, :]
+        M, T = len(b.model_idxs), b.table_size
         cvals = ctx[:, jnp.asarray(b.ctx_slots)]  # (S, M)
-        idx = _iar(((cvals << U32(8)) + bit_ctx[:, None]) % U32(b.table_size))
+        idx = _iar(((cvals << U32(8)) + bit_ctx[:, None]) & U32(T - 1))
+        m_ix = jnp.arange(M)[None, :]
         ns_s = _iar(mem["ns_t"][s_ix[:, None], m_ix, idx])  # (S, M)
         rm_s = _iar(mem["rm_t"][s_ix[:, None], m_ix, idx])
-        p_ns = jnp.take_along_axis(mem["ns_p"], ns_s[:, :, None], axis=2)[..., 0]
-        p_rm = jnp.take_along_axis(mem["rm_p"], rm_s[:, :, None], axis=2)[..., 0]
-        preds = preds.at[:, jnp.asarray(b.ns_cols)].set(jnp.where(ns_s != 255, p_ns, F32(0.0)))
-        preds = preds.at[:, jnp.asarray(b.rm_cols)].set(jnp.where(rm_s != 0, p_rm, F32(0.0)))
-        aux[key] = (idx, ns_s, rm_s)
+        states = jnp.concatenate([ns_s, rm_s], axis=1)  # (S, 2M)
+        p_all = jnp.take_along_axis(mem["p"], states[:, :, None], axis=2)[..., 0]
+        active = jnp.concatenate(
+            [states[:, :M] != 255, states[:, M:] != 0], axis=1
+        )  # ns: 255 = unseen; rm: 0 = unseen
+        cols = jnp.concatenate([jnp.asarray(b.ns_cols), jnp.asarray(b.rm_cols)])
+        preds = preds.at[:, cols].set(jnp.where(active, p_all, F32(0.0)))
+        aux[key] = (idx, states)
 
     # ---- match models (match.cpp:25-74) ----
     if spec.matches:
@@ -629,6 +633,16 @@ def _bit_step(
     p_bit = jnp.where(bit == 1, prob, F32(1.0) - prob)
     metrics = _set(metrics, ent=metrics["ent"] - jnp.log2(p_bit))
 
+    # per-column analysis EMA over model predictions, L0/L1 mixer outputs and
+    # the final output (Predictor::UpdateEntropy alpha=1e-5, predictor.cpp:439-469)
+    col_logits = jnp.concatenate([preds, ys[0], ys[1], final_logit[:, None]], axis=1)
+    p_cols = clamp_prob(logistic(col_logits))
+    pb_cols = jnp.where((bit == 1)[:, None], p_cols, F32(1.0) - p_cols)
+    metrics = _set(
+        metrics,
+        ema=metrics["ema"] + F32(1e-5) * (-jnp.log2(pb_cols) - metrics["ema"]),
+    )
+
     # ---- Perceive + Learn ----
     bitf = bit.astype(F32)
     lr_gate = jnp.asarray(learn_enabled, F32)  # 0 disables all learning (generation)
@@ -639,24 +653,27 @@ def _bit_step(
         key = f"b{b.table_bits}"
         mem = ltm["ind"][key]
         M = len(b.model_idxs)
+        m2_ix = jnp.arange(2 * M)[None, :]
+        idx, states = aux[key]
+        lrs = jnp.tile(jnp.asarray(b.lrs)[None, :], (1, 2)) * lr_gate
+        # ns state 255 (unseen) learns/advances from slot 0 (indirect.cpp:49-51)
+        st_eff = jnp.concatenate(
+            [jnp.where(states[:, :M] == 255, 0, states[:, :M]), states[:, M:]],
+            axis=1,
+        )
+        p_cur = jnp.take_along_axis(mem["p"], st_eff[:, :, None], axis=2)[..., 0]
+        p_new = p_cur + (bitf[:, None] - logistic(p_cur)) * lrs
+        st_gated = jnp.where(lr_gate > 0, st_eff, 256)  # OOB -> frozen
+        p_tbl = mem["p"].at[s_ix[:, None], m2_ix, st_gated].set(p_new, mode="drop")
+        # state advance: ns half via the nonstationary table, rm half via the
+        # run-map table (both 256x2 -> flattened 512-entry next tables)
+        new_ns = jnp.take(ns_next, st_eff[:, :M] * 2 + _iar(bit)[:, None]).astype(jnp.uint8)
+        new_rm = jnp.take(rm_next, st_eff[:, M:] * 2 + _iar(bit)[:, None]).astype(jnp.uint8)
         m_ix = jnp.arange(M)[None, :]
-        idx, ns_s, rm_s = aux[key]
-        lrs = jnp.asarray(b.lrs)[None, :] * lr_gate
-        ns_s2 = jnp.where(ns_s == 255, 0, ns_s)
-        ns_s2g = jnp.where(lr_gate > 0, ns_s2, 256)  # OOB -> frozen
-        rm_sg = jnp.where(lr_gate > 0, rm_s, 256)
-        p_ns = jnp.take_along_axis(mem["ns_p"], ns_s2[:, :, None], axis=2)[..., 0]
-        p_ns = p_ns + (bitf[:, None] - logistic(p_ns)) * lrs
-        ns_p = mem["ns_p"].at[s_ix[:, None], m_ix, ns_s2g].set(p_ns, mode="drop")
-        new_ns = jnp.take(ns_next, ns_s2 * 2 + _iar(bit)[:, None]).astype(mem["ns_t"].dtype)
-        p_rm = jnp.take_along_axis(mem["rm_p"], rm_s[:, :, None], axis=2)[..., 0]
-        p_rm = p_rm + (bitf[:, None] - logistic(p_rm)) * lrs
-        rm_p = mem["rm_p"].at[s_ix[:, None], m_ix, rm_sg].set(p_rm, mode="drop")
-        new_rm = jnp.take(rm_next, rm_s * 2 + _iar(bit)[:, None]).astype(mem["rm_t"].dtype)
-        gate_ix = jnp.where(lr_gate > 0, idx, b.table_size)  # drop writes when frozen
-        ns_t = mem["ns_t"].at[s_ix[:, None], m_ix, gate_ix].set(new_ns, mode="drop")
-        rm_t = mem["rm_t"].at[s_ix[:, None], m_ix, gate_ix].set(new_rm, mode="drop")
-        ltm = _set(ltm, ind=_set(ltm["ind"], **{key: {"ns_t": ns_t, "rm_t": rm_t, "ns_p": ns_p, "rm_p": rm_p}}))
+        idx_gated = jnp.where(lr_gate > 0, idx, b.table_size)
+        ns_t = mem["ns_t"].at[s_ix[:, None], m_ix, idx_gated].set(new_ns, mode="drop")
+        rm_t = mem["rm_t"].at[s_ix[:, None], m_ix, idx_gated].set(new_rm, mode="drop")
+        ltm = _set(ltm, ind=_set(ltm["ind"], **{key: {"ns_t": ns_t, "rm_t": rm_t, "p": p_tbl}}))
 
     # match per-bit Learn (match.cpp:79-90)
     if spec.matches:

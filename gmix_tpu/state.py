@@ -54,14 +54,17 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
     ltm: Dict = {}
 
     # --- indirect models ---
+    # Per bucket: one u8 state table pair [ns | rm] stacked on the model axis
+    # (ns init 255 = never seen, rm init 0; long-term-memory.h:11-16) and the
+    # shared 256-entry state->logit tables. Power-of-two T keeps XLA:TPU's
+    # vectorized scatter emitter engaged (see core/meta.py note).
     ind = {}
     for b in meta.ind_buckets:
         M, T = len(b.model_idxs), b.table_size
         ind[f"b{b.table_bits}"] = {
-            "ns_t": jnp.full((S, M, T), 255, u8),  # 255 = never seen
-            "rm_t": jnp.zeros((S, M, T), u8),  # 0 = never seen
-            "ns_p": jnp.zeros((S, M, 256), f32),
-            "rm_p": jnp.zeros((S, M, 256), f32),
+            "ns_t": jnp.full((S, M, T), 255, u8),
+            "rm_t": jnp.zeros((S, M, T), u8),
+            "p": jnp.zeros((S, 2 * M, 256), f32),
         }
     ltm["ind"] = ind
 
@@ -172,7 +175,16 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
         "rpos": jnp.zeros((S,), u32),
     }
 
-    metrics = {"ent": jnp.zeros((S,), f32)}  # cumulative cross-entropy (bits)
+    # metrics: cumulative cross-entropy (bits) + per-column analysis EMA
+    # (reference: Predictor::UpdateEntropy alpha=1e-5, predictor.cpp:439-469);
+    # columns = predictions + L0/L1 mixer outputs + final (core.meta.analysis_names)
+    n_cols = (
+        meta.n_pred + meta.mix_layers[0].n + meta.mix_layers[1].n + 1
+    )
+    metrics = {
+        "ent": jnp.zeros((S,), f32),
+        "ema": jnp.full((S, n_cols), 1.0, f32),
+    }
 
     return {"stm": stm, "ltm": ltm, "coder": coder, "metrics": metrics}
 

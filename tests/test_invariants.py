@@ -176,6 +176,28 @@ def test_pretrained_warmstart_improves():
         "wpos": jnp.zeros((1,), jnp.uint32),
         "rpos": jnp.zeros((1,), jnp.uint32),
     }
-    warm.state["metrics"] = {"ent": jnp.zeros((1,), jnp.float32)}
+    warm.state["metrics"] = jax.tree_util.tree_map(
+        jnp.zeros_like, warm.state["metrics"]
+    )
     blob_warm = compress_bytes(DATA, spec, 1, CHUNK, pred=warm)
     assert len(blob_warm) < len(blob_cold)
+
+
+def test_analysis_ema_tracks_models():
+    """Analysis subsystem (predictor.cpp:422-503): per-column entropy EMA has
+    one column per prediction + L0/L1 mixer + final, stays finite, and the
+    final column improves while learning on compressible data."""
+    from gmix_tpu.core.codec import analysis_columns, analysis_snapshot, memory_report
+
+    spec = _spec()
+    pred = Predictor(spec, 1)
+    cols = analysis_columns(spec)
+    compress_bytes(DATA, spec, 1, CHUNK, pred=pred)
+    snap = analysis_snapshot(pred)
+    assert snap.shape == (1, len(cols))
+    assert np.all(np.isfinite(snap))
+    assert "final" in cols and cols.index("final") == len(cols) - 1
+    # the mixed output must beat a fair coin on this highly repetitive input
+    assert snap[0, -1] < 0.9
+    rows = memory_report(pred)
+    assert sum(b for _, b in rows) == pred.memory_bytes()
