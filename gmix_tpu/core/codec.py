@@ -59,8 +59,8 @@ class Predictor:
         if sharding is not None:
             self.state = jax.device_put(self.state, sharding)
 
-    def chunk_fn(self, n: int):
-        return get_chunk_fn(self.spec, n)
+    def chunk_fn(self, n: int, learn: bool = True):
+        return get_chunk_fn(self.spec, n, learn)
 
     def gen_fn(self, n: int):
         return get_gen_chunk_fn(self.spec, n)
@@ -124,15 +124,17 @@ def run_chunks(
     """Drive the jitted chunk program over [t0, t0+n_bytes). Buffers stay on
     device across chunks; returns (data_buf, code_buf)."""
     assert n_bytes % chunk == 0, "n_bytes must be a chunk multiple"
-    fn = pred.chunk_fn(chunk)
+    fn = pred.chunk_fn(chunk, learn=learn)
     cap = code_buf.shape[1]
     dec = jnp.asarray(bool(decode))
-    lrn = jnp.asarray(1.0 if learn else 0.0, jnp.float32)
-    for t in range(t0, t0 + n_bytes, chunk):
+    for i, t in enumerate(range(t0, t0 + n_bytes, chunk)):
         pred.state, data_buf, code_buf = fn(
-            pred.state, data_buf, code_buf, jnp.int32(t), dec, lrn
+            pred.state, data_buf, code_buf, jnp.int32(t), dec
         )
-        if not decode:
+        # overflow guard: a host sync per chunk would stall the device
+        # pipeline through the TPU tunnel, so only sample occasionally
+        # (cap is sized for the worst case; this is a belt-and-braces check)
+        if not decode and (i & 15) == 15:
             wpos = int(jax.device_get(jnp.max(pred.state["coder"]["wpos"])))
             if wpos + _WORST_PER_BYTE * chunk > cap and t + chunk < t0 + n_bytes:
                 raise RuntimeError(

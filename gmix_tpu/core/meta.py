@@ -1,14 +1,19 @@
 """Static kernel-layout metadata derived from an EnsembleSpec.
 
-Heterogeneous model instances are grouped into *buckets* of equal table size so
-each bucket is one batched gather/scatter over a (S, M_bucket, T) array - the
-TPU-native replacement for the reference's per-instance virtual dispatch
-(src/predictor.cpp:360-387). Everything here is host-side numpy, baked into the
-jitted step as constants.
+Heterogeneous model instances are packed into *flat arenas*: every table of a
+model family lives in ONE (S, total) array, and a per-instance offset vector
+turns each family's lookups into a single batched gather and each update into
+a single batched scatter. This is the TPU-native replacement for the
+reference's per-instance virtual dispatch (src/predictor.cpp:360-387): the
+per-bit kernel count is O(model families), not O(instances) — the previous
+bucketed-by-table-size layout still cost ~100 gather/scatter kernels per bit
+and was latency-bound, not bandwidth-bound.
+
+Everything here is host-side numpy, baked into the jitted step as constants.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -16,50 +21,11 @@ import numpy as np
 from ..config import EnsembleSpec
 
 LANE = 128  # pad mixer weight rows to the TPU lane width
+MAX_SKIP = 8  # skip contexts hash at most 8 recent bytes (skip-context.h)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-@dataclass
-class IndBucket:
-    table_bits: int
-    table_size: int  # (1<<tb)*256 + 1
-    model_idxs: Tuple[int, ...]  # indices into spec.indirects
-    ctx_slots: np.ndarray  # (M,) int32
-    lrs: np.ndarray  # (M,) float32
-    ns_cols: np.ndarray  # (M,) prediction columns (nonstationary)
-    rm_cols: np.ndarray  # (M,) prediction columns (run map)
-
-
-@dataclass
-class MixLayer:
-    layer: int
-    n: int
-    width: int  # unpadded input width
-    width_pad: int
-    lrs: np.ndarray  # (n,) float32 in k-order
-    ctx_slots: np.ndarray  # (n,) int32 in k-order
-    table_sizes: np.ndarray  # (n,) int64 in k-order
-    # buckets: table_bits -> (k-positions in this layer)
-    buckets: Dict[int, Tuple[int, ...]] = field(default_factory=dict)
-
-
-@dataclass
-class MatchBucket:
-    table_bits: int
-    model_idxs: Tuple[int, ...]
-    ctx_slots: np.ndarray
-
-
-@dataclass
-class IhBucket:
-    table_bits: int
-    ctx_idxs: Tuple[int, ...]  # indices into spec.ihash_ctxs
-    out_slots: np.ndarray  # output context slots
-    outer_mods: np.ndarray  # (M,) uint32: 1 << 8*(outer_order-1)
-    inner_mods: np.ndarray  # (M,) uint32
 
 
 @dataclass
@@ -68,22 +34,75 @@ class Meta:
     slots: Dict[str, int]
     n_ctx: int
     n_pred: int
-    ind_buckets: List[IndBucket]
-    mix_layers: List[MixLayer]  # [L0, L1, L2]
-    match_buckets: List[MatchBucket]
-    match_ctx_slots: np.ndarray  # (n_match,) in model order
-    match_limits: np.ndarray  # (n_match,) int32
-    match_cols: np.ndarray  # (n_match,) prediction columns
-    ih_buckets: List[IhBucket]
-    skip_offsets: List[Tuple[int, ...]]  # per skip ctx
-    skip_slots: np.ndarray
-    interval_maps: np.ndarray  # (n_interval, 256) int32 quantisation maps
+
+    # indirect models, spec order (src/models/indirect.cpp)
+    # table m spans [ind_offsets[m], ind_offsets[m] + ind_masks[m] + 1) in the
+    # ns half of the state arena; the rm half is the same layout shifted by
+    # ind_total. NOTE: the reference sizes these tables (1<<tb)*256 + 1 to
+    # break modular collision alignment (indirect.cpp:15-19). An odd-sized
+    # table blocks XLA:TPU's vectorized scatter emitter (serialized slab-copy
+    # fallback, ~20x slowdown), so tables stay powers of two; contexts are
+    # murmur-hashed, which supplies the decorrelation the +1 was for.
+    ind_offsets: np.ndarray  # (M,) int32
+    ind_masks: np.ndarray  # (M,) uint32: (1 << (tb+8)) - 1
+    ind_ctx_slots: np.ndarray  # (M,) int32
+    ind_lrs: np.ndarray  # (2M,) float32 [ns lrs | rm lrs]
+    ind_total: int
+
+    # mixers, k-order = L0 spec order, then L1, then final (mixer.cpp)
+    mix_offsets: np.ndarray  # (K,) int32 row offsets into the row arena
+    mix_masks: np.ndarray  # (K,) uint32: (1 << tb) - 1
+    mix_ctx_slots: np.ndarray  # (K,) int32
+    mix_lrs: np.ndarray  # (K,) float32
+    mix_n0: int
+    mix_n1: int
+    mix_width_pad: int
+    mix_total_rows: int
+
+    # match models, spec order (src/models/match.cpp)
+    match_offsets: np.ndarray  # (NM,) int32
+    match_masks: np.ndarray  # (NM,) uint32
+    match_ctx_slots: np.ndarray  # (NM,) int32
+    match_limits: np.ndarray  # (NM,) int32
+    match_total: int
+
+    # indirect-hash contexts, spec order (src/contexts/indirect-hash.cpp)
+    ih_offsets: np.ndarray  # (NIH,) int32
+    ih_masks: np.ndarray  # (NIH,) uint32
+    ih_out_slots: np.ndarray
+    ih_outer_mods: np.ndarray  # (NIH,) uint32: 1 << 8*(outer_order-1)
+    ih_inner_mods: np.ndarray  # (NIH,) uint32
+    ih_total: int
+
+    # skip contexts, vectorised packing (src/contexts/skip-context.cpp:9-19):
+    # key u64 = sum_k recent[offsets[k]] << 8*(n-1-k), hashed per instance
+    skip_slots: np.ndarray  # (NSK,) int32
+    skip_gather: np.ndarray  # (NSK, MAX_SKIP) int32 indices into recent
+    skip_lo_sh: np.ndarray  # (NSK, MAX_SKIP) uint32 shift into the low u32
+    skip_lo_on: np.ndarray  # (NSK, MAX_SKIP) bool
+    skip_hi_sh: np.ndarray
+    skip_hi_on: np.ndarray
+
+    # interval contexts (src/contexts/interval-context.cpp)
+    interval_maps: np.ndarray  # (NI, 256) int32 quantisation maps
     interval_shifts: np.ndarray
     interval_masks: np.ndarray
     interval_slots: np.ndarray
+
+    # PPM orders, lowest first (device-native ModPPMD equivalent)
+    ppm_slots: np.ndarray  # (NO,) ctx slots
+    ppm_masks: np.ndarray  # (NO,) uint32
+    ppm_row_offsets: np.ndarray  # (NO,) int32 into the row arena
+    ppm_total_rows: int
+
+    # byte-boundary context columns written in one scatter:
+    # [last_byte, recent_1..recent_9]
+    byte_ctx_cols: np.ndarray
+    # per-bit context columns written in one scatter:
+    # [bit_ctx, lb_recent, slb_recent]
+    bit_ctx_cols: np.ndarray
+
     history_size: int
-    ppm_slots: np.ndarray  # (n_orders,) ctx slots, lowest order first
-    ppm_bits: Tuple[int, ...]
 
 
 def analysis_names(spec: EnsembleSpec) -> List[str]:
@@ -104,85 +123,58 @@ def analysis_names(spec: EnsembleSpec) -> List[str]:
     return names
 
 
+def _arena(bit_sizes: List[int]) -> Tuple[np.ndarray, np.ndarray, int]:
+    """(offsets, masks, total) for tables of 2^bits entries packed end-to-end."""
+    sizes = [1 << b for b in bit_sizes]
+    if not sizes:
+        return np.zeros((0,), np.int32), np.zeros((0,), np.uint32), 0
+    offsets = np.cumsum([0] + sizes[:-1]).astype(np.int32)
+    masks = (np.array(sizes, np.int64) - 1).astype(np.uint32)
+    return offsets, masks, int(sum(sizes))
+
+
 def build_meta(spec: EnsembleSpec) -> Meta:
     spec.validate()
     names = spec.ctx_names()
     slots = {n: i for i, n in enumerate(names)}
 
-    # --- indirect buckets ---
-    by_bits: Dict[int, List[int]] = {}
-    for i, m in enumerate(spec.indirects):
-        by_bits.setdefault(m.table_bits, []).append(i)
-    ind_buckets = []
-    for tb in sorted(by_bits):
-        idxs = tuple(by_bits[tb])
-        # NOTE: the reference sizes these tables (1<<tb)*256 + 1 to break
-        # modular collision alignment (indirect.cpp:15-19). An odd-sized table
-        # blocks XLA:TPU's vectorized scatter emitter (it falls back to a
-        # serialized slab-copy loop, ~20x whole-program slowdown), so we keep
-        # the table a power of two; contexts are murmur-hashed already, which
-        # provides the decorrelation the +1 was for.
-        ind_buckets.append(
-            IndBucket(
-                table_bits=tb,
-                table_size=(1 << tb) * 256,
-                model_idxs=idxs,
-                ctx_slots=np.array([slots[spec.indirects[i].ctx] for i in idxs], np.int32),
-                lrs=np.array([spec.indirects[i].lr for i in idxs], np.float32),
-                ns_cols=np.array([spec.ind_col0 + 2 * i for i in idxs], np.int32),
-                rm_cols=np.array([spec.ind_col0 + 2 * i + 1 for i in idxs], np.int32),
-            )
-        )
+    # --- indirect arena (state table = (1<<tb)*256 entries = tb+8 bits) ---
+    ind_offsets, ind_masks, ind_total = _arena([m.table_bits + 8 for m in spec.indirects])
+    assert 2 * ind_total < 2**31, "indirect arena exceeds int32 indexing"
+    ind_lrs = np.array([m.lr for m in spec.indirects] * 2, np.float32)
 
-    # --- mixer layers ---
-    mix_layers = []
-    for layer in range(3):
-        ms = spec.mixers_in_layer(layer)
-        width = spec.mixer_width(layer)
-        ml = MixLayer(
-            layer=layer,
-            n=len(ms),
-            width=width,
-            width_pad=_round_up(max(width, 1), LANE),
-            lrs=np.array([m.lr for m in ms], np.float32),
-            ctx_slots=np.array([slots[m.ctx] for m in ms], np.int32),
-            table_sizes=np.array([1 << m.table_bits for m in ms], np.int64),
-        )
-        buckets: Dict[int, List[int]] = {}
-        for k, m in enumerate(ms):
-            buckets.setdefault(m.table_bits, []).append(k)
-        ml.buckets = {tb: tuple(ks) for tb, ks in sorted(buckets.items())}
-        mix_layers.append(ml)
+    # --- mixer row arena, k-order L0 | L1 | final ---
+    mixers = (
+        list(spec.mixers_in_layer(0)) + list(spec.mixers_in_layer(1)) + list(spec.mixers_in_layer(2))
+    )
+    mix_offsets, mix_masks, mix_total_rows = _arena([m.table_bits for m in mixers])
+    width_pad = _round_up(max(spec.mixer_width(l) for l in range(3)), LANE)
 
-    # --- match buckets ---
-    mby: Dict[int, List[int]] = {}
-    for i, m in enumerate(spec.matches):
-        mby.setdefault(m.table_bits, []).append(i)
-    match_buckets = [
-        MatchBucket(
-            table_bits=tb,
-            model_idxs=tuple(idxs),
-            ctx_slots=np.array([slots[spec.matches[i].ctx] for i in idxs], np.int32),
-        )
-        for tb, idxs in sorted(mby.items())
-    ]
+    # --- match arena ---
+    match_offsets, match_masks, match_total = _arena([m.table_bits for m in spec.matches])
 
-    # --- indirect-hash buckets ---
-    iby: Dict[int, List[int]] = {}
-    for i, c in enumerate(spec.ihash_ctxs):
-        iby.setdefault(c.table_bits, []).append(i)
-    ih_buckets = []
-    for tb, idxs in sorted(iby.items()):
-        cs = [spec.ihash_ctxs[i] for i in idxs]
-        ih_buckets.append(
-            IhBucket(
-                table_bits=tb,
-                ctx_idxs=tuple(idxs),
-                out_slots=np.array([slots[c.name] for c in cs], np.int32),
-                outer_mods=np.array([1 << (8 * (c.outer_order - 1)) for c in cs], np.uint32),
-                inner_mods=np.array([1 << (8 * (c.inner_order - 1)) for c in cs], np.uint32),
-            )
-        )
+    # --- indirect-hash arena ---
+    ih_offsets, ih_masks, ih_total = _arena([c.table_bits for c in spec.ihash_ctxs])
+
+    # --- skip packing ---
+    nsk = max(len(spec.skip_ctxs), 1)
+    skip_gather = np.zeros((nsk, MAX_SKIP), np.int32)
+    skip_lo_sh = np.zeros((nsk, MAX_SKIP), np.uint32)
+    skip_lo_on = np.zeros((nsk, MAX_SKIP), bool)
+    skip_hi_sh = np.zeros((nsk, MAX_SKIP), np.uint32)
+    skip_hi_on = np.zeros((nsk, MAX_SKIP), bool)
+    for i, c in enumerate(spec.skip_ctxs):
+        n = len(c.offsets)
+        assert n <= MAX_SKIP
+        for k, o in enumerate(c.offsets):
+            p = 8 * (n - 1 - k)
+            skip_gather[i, k] = o
+            if p < 32:
+                skip_lo_sh[i, k] = p
+                skip_lo_on[i, k] = True
+            else:
+                skip_hi_sh[i, k] = p - 32
+                skip_hi_on[i, k] = True
 
     # --- interval contexts ---
     n_int = len(spec.interval_ctxs)
@@ -198,31 +190,64 @@ def build_meta(spec: EnsembleSpec) -> Meta:
         interval_shifts[i] = shift
         interval_masks[i] = (1 << c.num_bits) - 1
 
+    # --- PPM row arena ---
+    orders = spec.ppm.orders if spec.ppm else ()
+    ppm_row_offsets, ppm_masks, ppm_total_rows = _arena([o.table_bits for o in orders])
+
     return Meta(
         spec=spec,
         slots=slots,
         n_ctx=len(names),
         n_pred=spec.num_predictions,
-        ind_buckets=ind_buckets,
-        mix_layers=mix_layers,
-        match_buckets=match_buckets,
+        ind_offsets=ind_offsets,
+        ind_masks=np.array(
+            [(1 << (m.table_bits + 8)) - 1 for m in spec.indirects], np.uint32
+        ),
+        ind_ctx_slots=np.array([slots[m.ctx] for m in spec.indirects], np.int32),
+        ind_lrs=ind_lrs,
+        ind_total=ind_total,
+        mix_offsets=mix_offsets,
+        mix_masks=mix_masks,
+        mix_ctx_slots=np.array([slots[m.ctx] for m in mixers], np.int32),
+        mix_lrs=np.array([m.lr for m in mixers], np.float32),
+        mix_n0=len(spec.mixers_in_layer(0)),
+        mix_n1=len(spec.mixers_in_layer(1)),
+        mix_width_pad=width_pad,
+        mix_total_rows=mix_total_rows,
+        match_offsets=match_offsets,
+        match_masks=match_masks,
         match_ctx_slots=np.array([slots[m.ctx] for m in spec.matches], np.int32),
         match_limits=np.array([m.limit for m in spec.matches], np.int32),
-        match_cols=np.array(
-            [spec.match_col0 + i for i in range(len(spec.matches))], np.int32
+        match_total=match_total,
+        ih_offsets=ih_offsets,
+        ih_masks=ih_masks,
+        ih_out_slots=np.array([slots[c.name] for c in spec.ihash_ctxs], np.int32),
+        ih_outer_mods=np.array(
+            [1 << (8 * (c.outer_order - 1)) for c in spec.ihash_ctxs], np.uint32
         ),
-        ih_buckets=ih_buckets,
-        skip_offsets=[c.offsets for c in spec.skip_ctxs],
+        ih_inner_mods=np.array(
+            [1 << (8 * (c.inner_order - 1)) for c in spec.ihash_ctxs], np.uint32
+        ),
+        ih_total=ih_total,
         skip_slots=np.array([slots[c.name] for c in spec.skip_ctxs], np.int32),
+        skip_gather=skip_gather,
+        skip_lo_sh=skip_lo_sh,
+        skip_lo_on=skip_lo_on,
+        skip_hi_sh=skip_hi_sh,
+        skip_hi_on=skip_hi_on,
         interval_maps=interval_maps,
         interval_shifts=interval_shifts,
         interval_masks=interval_masks,
-        interval_slots=np.array(
-            [slots[c.name] for c in spec.interval_ctxs], np.int32
+        interval_slots=np.array([slots[c.name] for c in spec.interval_ctxs], np.int32),
+        ppm_slots=np.array([slots[o.ctx] for o in orders], np.int32),
+        ppm_masks=ppm_masks,
+        ppm_row_offsets=ppm_row_offsets,
+        ppm_total_rows=ppm_total_rows,
+        byte_ctx_cols=np.array(
+            [slots["last_byte"]] + [slots[f"recent_{i}"] for i in range(1, 10)], np.int32
+        ),
+        bit_ctx_cols=np.array(
+            [slots["bit_ctx"], slots["lb_recent"], slots["slb_recent"]], np.int32
         ),
         history_size=1 << spec.history_bits,
-        ppm_slots=np.array(
-            [slots[o.ctx] for o in (spec.ppm.orders if spec.ppm else ())], np.int32
-        ),
-        ppm_bits=tuple(o.table_bits for o in (spec.ppm.orders if spec.ppm else ())),
     )

@@ -1,32 +1,48 @@
-"""The fused per-bit codec step: the reference's Predict/Encode/Perceive/Learn
-bit loop (src/runner/runner-utils.cpp:50-65) restructured as one scanned,
+"""The fused codec step: the reference's Predict/Encode/Perceive/Learn bit
+loop (src/runner/runner-utils.cpp:50-65) restructured as one scanned,
 stream-batched TPU program.
 
 Key design properties (SURVEY.md 7):
 
-- Scan is over BITS with the sub-step index j = bit & 7 traced; all
-  byte-boundary work (context hashing, interval/indirect-hash updates, PPM,
-  LSTM forward, match pointer chase) runs under `lax.cond(j == 0)` and the
-  byte-end learn work (history append, match table write, LSTM perceive)
-  under `lax.cond(j == 7)`. This keeps the compiled body ~8x smaller than
-  unrolling the 8 sub-steps (XLA:CPU compile time of the unrolled form was
-  pathological) while executing the heavy blocks only when due.
+- Scan is over BYTES with the 8 bit sub-steps statically unrolled. There is
+  NO lax.cond anywhere in the hot path: an identity cond branch carrying a
+  multi-MB tensor (LSTM weight histories, PPM tables) forces XLA:TPU to emit
+  a physical copy per iteration, which dominated whole-program time in the
+  conditional-boundary formulation (~500 us/bit, memory-bound on copies).
+  Byte-boundary work simply runs first, byte-end work last, and the bit
+  sub-index j is a Python constant inside the unrolled body.
+- Truncated-BPTT fires when the LSTM epoch counter wraps, i.e. at statically
+  known byte positions (every `horizon` bytes). When the scan chunk is a
+  multiple of the horizon, the scan nests as [segments x horizon bytes] and
+  BPTT runs unconditionally at each segment end (provably equivalent: the
+  output-layer SGD and BPTT touch disjoint state). Non-aligned chunks fall
+  back to a lax.cond with minimal operands (test/debug path).
+- Learning on/off is a TRACE-TIME choice: the generation program simply
+  contains no Learn code at all (reference contract: generation never calls
+  Learn, runner-utils.cpp:196-215, and LSTM Perceive is skipped,
+  lstm-model.cpp:50-59), so freezing long-term memory is structural.
 - Encode and decode are the same traced program; `decode` is a traced scalar
-  that selects the bit source. This makes encoder/decoder model-state
-  divergence structurally impossible.
-- Heterogeneous model instances run as bucketed gather/compute/scatter over
-  (S, M, T) tables; the 33-mixer GLN runs as a batched base matvec plus a
-  short in-layer triangular chain (mixer.cpp:51-106, the "earlier mixers in
-  the same layer" term).
+  selecting the bit source, making encoder/decoder model-state divergence
+  structurally impossible.
+- Every model family lives in ONE flat arena (core/meta.py), so the per-bit
+  hot path is a handful of batched gathers/scatters with provably unique
+  indices (`unique_indices=True` keeps the vectorized TPU scatter emitter).
+- The 33-mixer GLN's "earlier mixers in the same layer" term
+  (mixer.cpp:60-64) is a strictly-lower-triangular linear system per layer,
+  solved with one batched unit-diagonal triangular solve instead of a
+  24-step sequential chain.
 - The reference's active-model protocol (short-term-memory.cpp:187-197: a
   model predicting exactly logit 0 is excluded from mixing and updates) is
-  realised densely: a 0 logit contributes 0 to every dot product and receives
-  a 0 weight update, so no index lists are needed.
+  realised densely: a 0 logit contributes 0 to every mixer dot product and
+  receives a 0 weight update, so no index lists are needed.
+- Ops touching the big per-stream LSTM tensors (out_w weight history) use
+  explicit multiply+reduce instead of dot_general so XLA assigns them the
+  carry layout and emits no layout-conversion copies in the loop body.
 """
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,14 +72,14 @@ def _iar(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# byte-boundary work (sub-step j == 0)
+# byte-boundary work
 # ---------------------------------------------------------------------------
 
 
 def _boundary(stm: Dict, ltm: Dict, t: jnp.ndarray, meta: Meta) -> Tuple[Dict, Dict]:
     spec = meta.spec
     S = stm["bits_seen"].shape[0]
-    slots = meta.slots
+    s_ix = jnp.arange(S)[:, None]
     not_first = t > 0
 
     # --- complete the previous byte (BasicContexts::ByteUpdate) ---
@@ -82,9 +98,10 @@ def _boundary(stm: Dict, ltm: Dict, t: jnp.ndarray, meta: Meta) -> Tuple[Dict, D
         stm["recent"],
     )
     ctx = stm["ctx"]
-    ctx = ctx.at[:, slots["last_byte"]].set(last_byte)
-    for i in range(1, 10):
-        ctx = ctx.at[:, slots[f"recent_{i}"]].set(recent[:, i])
+    # last_byte + recent_1..9 context slots in one static-index write
+    ctx = ctx.at[:, jnp.asarray(meta.byte_ctx_cols)].set(
+        jnp.concatenate([last_byte[:, None], recent[:, 1:10]], axis=1)
+    )
 
     # --- interval contexts (interval-context.cpp:17-23) ---
     if spec.interval_ctxs:
@@ -96,51 +113,36 @@ def _boundary(stm: Dict, ltm: Dict, t: jnp.ndarray, meta: Meta) -> Tuple[Dict, D
         masks = jnp.asarray(meta.interval_masks, U32)[None, :]
         ctx = ctx.at[:, islots].set(masks & ((old << shifts) + vals))
 
-    # --- skip hashes (skip-context.cpp:9-19) ---
+    # --- skip hashes (skip-context.cpp:9-19), all instances in one batch ---
     if spec.skip_ctxs:
-        hashes = []
-        for offs in meta.skip_offsets:
-            n = len(offs)
-            lo = jnp.zeros((S,), U32)
-            hi = jnp.zeros((S,), U32)
-            for k, o in enumerate(offs):
-                b = recent[:, o]
-                p = 8 * (n - 1 - k)
-                if p < 32:
-                    lo = lo | (b << U32(p))
-                else:
-                    hi = hi | (b << U32(p - 32))
-            hashes.append(murmur3_u64(lo, hi))
-        ctx = ctx.at[:, meta.skip_slots].set(jnp.stack(hashes, axis=1))
+        bg = recent[:, jnp.asarray(meta.skip_gather)]  # (S, NSK, MAX_SKIP) u32
+        lo = jnp.sum(
+            jnp.where(jnp.asarray(meta.skip_lo_on), bg << jnp.asarray(meta.skip_lo_sh), U32(0)),
+            axis=2, dtype=U32,
+        )
+        hi = jnp.sum(
+            jnp.where(jnp.asarray(meta.skip_hi_on), bg << jnp.asarray(meta.skip_hi_sh), U32(0)),
+            axis=2, dtype=U32,
+        )
+        ctx = ctx.at[:, jnp.asarray(meta.skip_slots)].set(murmur3_u64(lo, hi))
 
-    # --- indirect-hash contexts (indirect-hash.cpp:16-31) ---
+    # --- indirect-hash contexts (indirect-hash.cpp:16-31), one flat arena ---
     if spec.ihash_ctxs:
-        ih_oc = stm["ih_outer_ctx"]
-        ih_oh = stm["ih_outer_hash"]
-        s_ix = jnp.arange(S)[:, None]
-        for b in meta.ih_buckets:
-            key = f"b{b.table_bits}"
-            tbl = stm["ih"][key]  # (S, M, T)
-            M = len(b.ctx_idxs)
-            Tmask = U32((1 << b.table_bits) - 1)
-            m_ix = jnp.arange(M)[None, :]
-            cols = jnp.asarray(np.array(b.ctx_idxs, np.int32))
-            old_hash = ih_oh[:, cols]
-            old_idx = _iar(old_hash & Tmask)
-            inner = tbl[s_ix, m_ix, old_idx]
-            imask = jnp.asarray(b.inner_mods, U32)[None, :] - U32(1)
-            inner_new = ((inner & imask) << U32(8)) + last_byte[:, None]
-            tbl = tbl.at[s_ix, m_ix, old_idx].set(inner_new, unique_indices=True)
-            omask = jnp.asarray(b.outer_mods, U32)[None, :] - U32(1)
-            outer_new = ((ih_oc[:, cols] & omask) << U32(8)) + last_byte[:, None]
-            new_hash = murmur3_u64(outer_new, jnp.zeros_like(outer_new))
-            new_idx = _iar(new_hash & Tmask)
-            out_ctx = murmur3_u32(tbl[s_ix, m_ix, new_idx])
-            ih_oc = ih_oc.at[:, cols].set(outer_new)
-            ih_oh = ih_oh.at[:, cols].set(new_hash)
-            ctx = ctx.at[:, jnp.asarray(b.out_slots)].set(out_ctx)
-            stm = _set(stm, ih=_set(stm["ih"], **{key: tbl}))
-        stm = _set(stm, ih_outer_ctx=ih_oc, ih_outer_hash=ih_oh)
+        f = stm["ih_tbl"]  # (S, TOT)
+        offs = jnp.asarray(meta.ih_offsets)[None, :]
+        ih_masks = jnp.asarray(meta.ih_masks)[None, :]
+        old_idx = _iar(stm["ih_outer_hash"] & ih_masks) + offs
+        inner = f[s_ix, old_idx]  # (S, NIH)
+        imask = jnp.asarray(meta.ih_inner_mods)[None, :] - U32(1)
+        inner_new = ((inner & imask) << U32(8)) + last_byte[:, None]
+        f = f.at[s_ix, old_idx].set(inner_new, unique_indices=True)
+        omask = jnp.asarray(meta.ih_outer_mods)[None, :] - U32(1)
+        outer_new = ((stm["ih_outer_ctx"] & omask) << U32(8)) + last_byte[:, None]
+        new_hash = murmur3_u64(outer_new, jnp.zeros_like(outer_new))
+        new_idx = _iar(new_hash & ih_masks) + offs
+        out_ctx = murmur3_u32(f[s_ix, new_idx])
+        ctx = ctx.at[:, jnp.asarray(meta.ih_out_slots)].set(out_ctx)
+        stm = _set(stm, ih_tbl=f, ih_outer_ctx=outer_new, ih_outer_hash=new_hash)
 
     stm = _set(stm, last_byte=last_byte, recent=recent, acc=jnp.zeros_like(completed), ctx=ctx)
 
@@ -156,34 +158,35 @@ def _boundary(stm: Dict, ltm: Dict, t: jnp.ndarray, meta: Meta) -> Tuple[Dict, D
     return stm, ltm
 
 
+def _ppm_rows(stm: Dict, ctx: jnp.ndarray, meta: Meta) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(flat row indices (S, NO), gathered rows (S, NO, 256)) of the PPM arena."""
+    S = ctx.shape[0]
+    h = _iar(ctx[:, jnp.asarray(meta.ppm_slots)] & jnp.asarray(meta.ppm_masks)[None, :])
+    h = h + jnp.asarray(meta.ppm_row_offsets)[None, :]
+    return h, stm["ppm_tbl"][jnp.arange(S)[:, None], h]
+
+
 def _ppm_update(stm: Dict, completed: jnp.ndarray, meta: Meta) -> Dict:
     sp = meta.spec.ppm
     S = completed.shape[0]
-    s_ix = jnp.arange(S)
-    ctx_old = stm["ctx"]
-    new = {}
-    for i, tb in enumerate(meta.ppm_bits):
-        key = f"o{i}"
-        tbl = stm["ppm"][key]  # (S, T, 256) uint16
-        h = _iar(ctx_old[:, int(meta.ppm_slots[i])] & U32((1 << tb) - 1))
-        row = tbl[s_ix, h].astype(jnp.int32)
-        row = row.at[s_ix, _iar(completed)].add(sp.inc)
-        total = jnp.sum(row, axis=1)
-        row = jnp.where((total > sp.rescale_total)[:, None], (row + 1) >> 1, row)
-        new[key] = tbl.at[s_ix, h].set(row.astype(jnp.uint16))
-    return _set(stm, ppm=new)
+    h, rows = _ppm_rows(stm, stm["ctx"], meta)
+    rows = rows.astype(I32) + jax.nn.one_hot(_iar(completed), 256, dtype=I32)[:, None, :] * sp.inc
+    total = jnp.sum(rows, axis=2)
+    rows = jnp.where((total > sp.rescale_total)[:, :, None], (rows + 1) >> 1, rows)
+    tbl = stm["ppm_tbl"].at[jnp.arange(S)[:, None], h].set(
+        rows.astype(jnp.uint16), unique_indices=True
+    )
+    return _set(stm, ppm_tbl=tbl)
 
 
 def _ppm_predict(stm: Dict, meta: Meta) -> Dict:
     """PPM-C style escape blending, lowest order first (no exclusions)."""
     S = stm["bits_seen"].shape[0]
-    s_ix = jnp.arange(S)
-    ctx = stm["ctx"]
+    _, rows = _ppm_rows(stm, stm["ctx"], meta)
+    rows = rows.astype(F32)  # (S, NO, 256)
     p = jnp.full((S, 256), 1.0 / 256, F32)
-    for i, tb in enumerate(meta.ppm_bits):
-        tbl = stm["ppm"][f"o{i}"]
-        h = _iar(ctx[:, int(meta.ppm_slots[i])] & U32((1 << tb) - 1))
-        row = tbl[s_ix, h].astype(F32)  # (S, 256)
+    for i in range(rows.shape[1]):
+        row = rows[:, i]
         total = jnp.sum(row, axis=1)
         distinct = jnp.sum(row > 0, axis=1).astype(F32)
         denom = jnp.maximum(total + distinct, 1.0)
@@ -197,17 +200,15 @@ def _ppm_predict(stm: Dict, meta: Meta) -> Dict:
     )
 
 
-def _interval_bit_pred(probs, top, bot, mid, new_bit, j):
+def _interval_bit_pred(probs, top, bot, mid, new_bit, j: int):
     """Byte-distribution -> per-bit probability via the narrowing [bot, top]
     interval (lstm-model.cpp:17-48; ModPPMD uses the identical scheme).
-    j is the traced bit sub-index; at j==0 the interval was just reset.
+    j is the STATIC bit sub-index; at j==0 the interval was just reset.
     Returns (masked logit, top, bot, mid)."""
-    nb = new_bit.astype(I32)
-    bot2 = jnp.where(nb == 1, mid + 1, bot)
-    top2 = jnp.where(nb == 1, top, mid)
-    shrink = j > 0
-    bot = jnp.where(shrink, bot2, bot)
-    top = jnp.where(shrink, top2, top)
+    if j > 0:
+        nb = new_bit.astype(I32)
+        bot = jnp.where(nb == 1, mid + 1, bot)
+        top = jnp.where(nb == 1, top, mid)
     mid = bot + (top - bot) // 2
     ar = jnp.arange(256)[None, :]
     num = jnp.sum(jnp.where((ar >= mid[:, None] + 1) & (ar <= top[:, None]), probs, 0.0), axis=1)
@@ -219,7 +220,7 @@ def _interval_bit_pred(probs, top, bot, mid, new_bit, j):
 def _lstm_forward(stm: Dict, ltm: Dict, meta: Meta) -> Tuple[Dict, Dict]:
     ls = meta.spec.lstm
     lw, lst = ltm["lstm"], stm["lstm"]
-    C, Hz, OUT = ls.num_cells, ls.horizon, ls.output_size
+    C, Hz = ls.num_cells, ls.horizon
     S = stm["bits_seen"].shape[0]
     e = lst["epoch"]
 
@@ -229,9 +230,10 @@ def _lstm_forward(stm: Dict, ltm: Dict, meta: Meta) -> Tuple[Dict, Dict]:
     )  # (S, LI) = stored layer input
     sym = _iar(stm["last_byte"])
 
-    gw = lw["gate_w"]  # (S, 3, C, RW)
-    w_sym = jnp.take_along_axis(gw, sym[:, None, None, None], axis=3)[..., 0]  # (S,3,C)
-    f = w_sym + jnp.einsum("sgcr,sr->sgc", gw[:, :, :, OUT:], li, preferred_element_type=F32)
+    # symbol embedding column + dense input transform (lstm-layer.cpp:222-241);
+    # the weight matrix is stored split (w_sym | w_in) so neither op slices it
+    w_sym = jnp.take_along_axis(lw["w_sym"], sym[:, None, None, None], axis=3)[..., 0]  # (S,3,C)
+    f = w_sym + jnp.einsum("sgcr,sr->sgc", lw["w_in"], li, preferred_element_type=F32)
     ivar = jax.lax.rsqrt(jnp.mean(f * f, axis=2) + F32(1e-5))  # (S,3)
     norm = f * ivar[:, :, None]
     pre = norm * lw["gamma"] + lw["beta"]
@@ -244,7 +246,10 @@ def _lstm_forward(stm: Dict, ltm: Dict, meta: Meta) -> Tuple[Dict, Dict]:
     tanh_c = jnp.tanh(cell)
     hidden = jnp.concatenate([outg * tanh_c, jnp.ones((S, 1), F32)], axis=1)
 
-    logits = jnp.einsum("soc,sc->so", lw["out_w"][:, e], hidden, preferred_element_type=F32)
+    # per-epoch output layer (lstm.cpp:91-122); multiply+reduce keeps out_w in
+    # the carry layout (no per-byte layout-conversion copy of a 5 MB tensor)
+    w_e = lw["out_w"][:, e]  # (S, OUT, C+1)
+    logits = jnp.sum(w_e * hidden[:, None, :], axis=2)
     maxv = jnp.maximum(jnp.max(logits, axis=1, keepdims=True), F32(0.0))  # lstm.cpp:105-113
     probs = jnp.exp(logits - maxv)
     probs = probs / jnp.sum(probs, axis=1, keepdims=True)
@@ -271,125 +276,136 @@ def _lstm_forward(stm: Dict, ltm: Dict, meta: Meta) -> Tuple[Dict, Dict]:
     return _set(stm, lstm=lst, ctx=ctx), ltm
 
 
-def _lstm_perceive(stm: Dict, ltm: Dict, inp: jnp.ndarray, lr_gate, meta: Meta):
-    """Lstm::Perceive (lstm.cpp:52-89) + LstmLayer::BackwardPass (lstm-layer.cpp:252-354)."""
+def _lstm_bptt(lst: Dict, lw: Dict, meta: Meta) -> Tuple[Dict, Dict]:
+    """Horizon-window backward pass + Adam (LstmLayer::BackwardPass,
+    lstm-layer.cpp:252-354; Adam lstm-layer.cpp:12-34). Runs when the epoch
+    counter wraps; reads the recorded forward history, updates gate weights."""
     ls = meta.spec.lstm
-    lst, lw = stm["lstm"], ltm["lstm"]
     C, Hz, OUT = ls.num_cells, ls.horizon, ls.output_size
     LI = ls.input_size + C + 1
+    S = lst["cell"].shape[0]
+    clip = F32(ls.grad_clip)
+    in_hist = lst["in_hist"]
+    gamma, beta = lw["gamma"], lw["beta"]
+
+    def epoch_step(carry, epoch):
+        stored, state_err, upd_sym, upd_in, upd_g, upd_b = carry
+        out_err = lst["outputs"][:, epoch] - jax.nn.one_hot(in_hist[:, epoch], OUT, dtype=F32)
+        # multiply+reduce over the 256 symbols (see layout note in header)
+        he = jnp.sum(out_err[:, :, None] * lw["out_w"][:, epoch, :, :C], axis=1)
+        is_last = epoch == (Hz - 1)
+        stored = jnp.where(is_last, he, stored + he)
+        state_err = jnp.where(is_last, jnp.zeros_like(state_err), state_err)
+
+        fg = lst["gate_state"][:, 0, epoch]
+        inn = lst["gate_state"][:, 1, epoch]
+        og = lst["gate_state"][:, 2, epoch]
+        ts = lst["tanh_state"][:, epoch]
+        ig = lst["in_gate"][:, epoch]
+        out_err_g = ts * stored * og * (1.0 - og)
+        state_err = state_err + stored * og * (1.0 - ts * ts)
+        in_err = state_err * ig * (1.0 - inn * inn)
+        fg_err = (lst["last_state"][:, epoch] - inn) * state_err * fg * ig
+
+        not_first = epoch > 0
+        state_err = jnp.where(not_first, state_err * fg, state_err)
+        stored_next = jnp.where(not_first, jnp.zeros_like(stored), stored)
+
+        errs = jnp.stack([fg_err, in_err, out_err_g], axis=1)  # (S,3,C)
+        norm = lst["norm"][:, :, epoch]  # (S,3,C)
+        ivar = lst["ivar"][:, :, epoch]  # (S,3)
+        upd_g = upd_g + errs * norm
+        upd_b = upd_b + errs
+        err2 = errs * gamma * ivar[:, :, None]
+        err2 = err2 - (jnp.sum(err2 * norm, axis=2, keepdims=True) / C) * norm
+        # hidden backprop through the hidden block of the weight rows
+        # (transpose_[i][j] = weights[j][OUT+IN+i], lstm-layer.cpp:311,330-338)
+        w_hid = lw["w_in"][:, :, :, ls.input_size : ls.input_size + C]  # (S,3,C,C)
+        hid_grad = jnp.einsum("sgc,sgch->sh", err2, w_hid, preferred_element_type=F32)
+        stored_next = jnp.where(not_first, stored_next + hid_grad, stored_next)
+
+        # gradient accumulation: d w[i, sym] += err_i ; d w[i, OUT+j] += err_i * input_j
+        in_sym = jnp.where(epoch > 0, in_hist[:, (epoch - 1) % Hz], lst["old_input"])
+        li = lst["layer_input"][:, epoch]  # (S, LI)
+        upd_in = upd_in + jnp.einsum("sgc,sl->sgcl", err2, li, preferred_element_type=F32)
+        onehot = jax.nn.one_hot(in_sym, OUT, dtype=F32)
+        upd_sym = upd_sym + jnp.einsum("sgc,so->sgco", err2, onehot, preferred_element_type=F32)
+
+        state_err = jnp.clip(state_err, -clip, clip)
+        stored_next = jnp.clip(stored_next, -clip, clip)
+        return (stored_next, state_err, upd_sym, upd_in, upd_g, upd_b), ()
+
+    init = (
+        lst["stored_err"],
+        lst["state_err"],
+        jnp.zeros((S, 3, C, OUT), F32),
+        jnp.zeros((S, 3, C, LI), F32),
+        jnp.zeros((S, 3, C), F32),
+        jnp.zeros((S, 3, C), F32),
+    )
+    (stored, state_err, upd_sym, upd_in, upd_g, upd_b), _ = jax.lax.scan(
+        epoch_step, init, jnp.arange(Hz - 1, -1, -1)
+    )
+
+    t_new = jnp.minimum(lst["update_steps"] + 1, ls.update_limit)
+    tf = t_new.astype(F32)
+    alpha = F32(ls.lr * 0.1) * jax.lax.rsqrt(F32(5e-5) * tf + F32(1.0))
+    b1, b2, eps = F32(ls.adam_beta1), F32(ls.adam_beta2), F32(ls.adam_eps)
+
+    def adam(g, m, v, w):
+        m = b1 * m + (1.0 - b1) * g
+        v = b2 * v + (1.0 - b2) * g * g
+        mh = m / (1.0 - jnp.power(b1, tf))
+        vh = v / (1.0 - jnp.power(b2, tf))
+        return m, v, w - alpha * mh / jnp.sqrt(vh + eps)
+
+    sm, sv, w_sym = adam(upd_sym, lw["sym_m"], lw["sym_v"], lw["w_sym"])
+    im, iv, w_in = adam(upd_in, lw["in_m"], lw["in_v"], lw["w_in"])
+    gm, gv, gamman = adam(upd_g, lw["gamma_m"], lw["gamma_v"], gamma)
+    bm, bv, betan = adam(upd_b, lw["beta_m"], lw["beta_v"], beta)
+    lw2 = _set(lw, w_sym=w_sym, sym_m=sm, sym_v=sv, w_in=w_in, in_m=im, in_v=iv,
+               gamma=gamman, gamma_m=gm, gamma_v=gv, beta=betan, beta_m=bm, beta_v=bv)
+    lst2 = _set(lst, stored_err=stored, state_err=state_err,
+                update_steps=t_new)
+    return lst2, lw2
+
+
+def _lstm_perceive(stm: Dict, ltm: Dict, inp: jnp.ndarray, meta: Meta, bptt_mode: str):
+    """Lstm::Perceive (lstm.cpp:52-89): record the observed symbol, run the
+    per-byte output-layer SGD, and (mode 'cond') the wrap-triggered BPTT.
+    In mode 'defer' the BPTT is hoisted to the enclosing segment scan, which
+    is equivalent: it exchanges no state with the output-layer SGD."""
+    ls = meta.spec.lstm
+    lst, lw = stm["lstm"], ltm["lstm"]
+    Hz, OUT = ls.horizon, ls.output_size
     S = inp.shape[0]
     s_ix = jnp.arange(S)
     e_cur = lst["epoch"]
     last_e = (e_cur - 1) % Hz
     old_input = lst["in_hist"][:, last_e]
-    frozen = lr_gate == 0  # generation mode: Perceive is never called (lstm-model.cpp:50-59)
-    in_hist = lst["in_hist"].at[:, last_e].set(jnp.where(frozen, old_input, inp))
-    lst = _set(lst, in_hist=in_hist)
+    lst = _set(
+        lst,
+        in_hist=lst["in_hist"].at[:, last_e].set(inp),
+        # the symbol that preceded epoch 0 of the NEXT window (consumed by BPTT)
+        old_input=jnp.where(e_cur == 0, old_input, lst["old_input"]),
+    )
 
-    def bptt(args):
-        lst, lw = args
-        gw = lw["gate_w"]  # (S,3,C,RW)
-        gamma, beta = lw["gamma"], lw["beta"]
-        clip = F32(ls.grad_clip)
-
-        def epoch_step(carry, epoch):
-            stored, state_err, upd_w, upd_g, upd_b = carry
-            out_err = lst["outputs"][:, epoch] - jax.nn.one_hot(in_hist[:, epoch], OUT, dtype=F32)
-            he = jnp.einsum("so,soc->sc", out_err, lw["out_w"][:, epoch, :, :C],
-                            preferred_element_type=F32)
-            is_last = epoch == (Hz - 1)
-            stored = jnp.where(is_last, he, stored + he)
-            state_err = jnp.where(is_last, jnp.zeros_like(state_err), state_err)
-
-            fg = lst["gate_state"][:, 0, epoch]
-            inn = lst["gate_state"][:, 1, epoch]
-            og = lst["gate_state"][:, 2, epoch]
-            ts = lst["tanh_state"][:, epoch]
-            ig = lst["in_gate"][:, epoch]
-            out_err_g = ts * stored * og * (1.0 - og)
-            state_err = state_err + stored * og * (1.0 - ts * ts)
-            in_err = state_err * ig * (1.0 - inn * inn)
-            fg_err = (lst["last_state"][:, epoch] - inn) * state_err * fg * ig
-
-            not_first = epoch > 0
-            state_err = jnp.where(not_first, state_err * fg, state_err)
-            stored_next = jnp.where(not_first, jnp.zeros_like(stored), stored)
-
-            errs = jnp.stack([fg_err, in_err, out_err_g], axis=1)  # (S,3,C)
-            norm = lst["norm"][:, :, epoch]  # (S,3,C)
-            ivar = lst["ivar"][:, :, epoch]  # (S,3)
-            upd_g = upd_g + errs * norm
-            upd_b = upd_b + errs
-            err2 = errs * gamma * ivar[:, :, None]
-            err2 = err2 - (jnp.sum(err2 * norm, axis=2, keepdims=True) / C) * norm
-            # hidden backprop through the hidden block of the weight rows
-            # (transpose_[i][j] = weights[j][OUT+IN+i], lstm-layer.cpp:311,330-338)
-            w_hid = gw[:, :, :, OUT + ls.input_size : OUT + ls.input_size + C]  # (S,3,C,C)
-            hid_grad = jnp.einsum("sgc,sgch->sh", err2, w_hid, preferred_element_type=F32)
-            stored_next = jnp.where(not_first, stored_next + hid_grad, stored_next)
-
-            # gradient accumulation: d w[i, sym] += err_i ; d w[i, OUT+j] += err_i * input_j
-            in_sym = jnp.where(epoch > 0, in_hist[:, (epoch - 1) % Hz], old_input)
-            li = lst["layer_input"][:, epoch]  # (S, LI)
-            g_in = jnp.einsum("sgc,sl->sgcl", err2, li, preferred_element_type=F32)  # (S,3,C,LI)
-            onehot = jax.nn.one_hot(in_sym, OUT, dtype=F32)
-            g_sym = jnp.einsum("sgc,so->sgco", err2, onehot, preferred_element_type=F32)
-            upd_w = upd_w + jnp.concatenate([g_sym, g_in], axis=3)
-
-            state_err = jnp.clip(state_err, -clip, clip)
-            stored_next = jnp.clip(stored_next, -clip, clip)
-            return (stored_next, state_err, upd_w, upd_g, upd_b), ()
-
-        init = (
-            lst["stored_err"],
-            lst["state_err"],
-            jnp.zeros((S, 3, C, OUT + LI), F32),
-            jnp.zeros((S, 3, C), F32),
-            jnp.zeros((S, 3, C), F32),
+    if bptt_mode == "cond":
+        lst, lw = jax.lax.cond(
+            e_cur == 0, lambda a: _lstm_bptt(a[0], a[1], meta), lambda a: a, (lst, lw)
         )
-        (stored, state_err, upd_w, upd_g, upd_b), _ = jax.lax.scan(
-            epoch_step, init, jnp.arange(Hz - 1, -1, -1)
-        )
-
-        t_new = jnp.minimum(lst["update_steps"] + 1, ls.update_limit)
-        tf = t_new.astype(F32)
-        alpha = F32(ls.lr * 0.1) * jax.lax.rsqrt(F32(5e-5) * tf + F32(1.0))
-        b1, b2, eps = F32(ls.adam_beta1), F32(ls.adam_beta2), F32(ls.adam_eps)
-
-        def adam(g, m, v, w):
-            m = b1 * m + (1.0 - b1) * g
-            v = b2 * v + (1.0 - b2) * g * g
-            mh = m / (1.0 - jnp.power(b1, tf))
-            vh = v / (1.0 - jnp.power(b2, tf))
-            return m, v, w - alpha * mh / jnp.sqrt(vh + eps)
-
-        gm, gv, gwn = adam(upd_w, lw["gate_m"], lw["gate_v"], gw)
-        gmm, gmv, gamman = adam(upd_g, lw["gamma_m"], lw["gamma_v"], gamma)
-        bm, bv, betan = adam(upd_b, lw["beta_m"], lw["beta_v"], beta)
-        lw2 = _set(lw, gate_w=gwn, gate_m=gm, gate_v=gv, gamma=gamman, gamma_m=gmm,
-                   gamma_v=gmv, beta=betan, beta_m=bm, beta_v=bv)
-        lst2 = _set(lst, stored_err=stored, state_err=state_err,
-                    hidden_err=jnp.zeros_like(lst["hidden_err"]),
-                    update_steps=t_new)
-        return lst2, lw2
-
-    do_bptt = (e_cur == 0) & (lr_gate > 0)
-    lst, lw = jax.lax.cond(do_bptt, bptt, lambda a: a, (lst, lw))
 
     # per-byte output-layer SGD (lstm.cpp:81-88): copies last epoch's weights
-    # into the current slot and applies the step; fully skipped when frozen.
+    # into the current slot and applies the step
     err = lst["outputs"][:, last_e] - jax.nn.one_hot(inp, OUT, dtype=F32)
     w_last = lw["out_w"][s_ix, last_e]  # (S, OUT, C+1)
-    w_new = w_last - F32(ls.lr) * jnp.einsum(
-        "so,sc->soc", err, lst["hidden"], preferred_element_type=F32
-    )
-    w_cur = lw["out_w"][s_ix, e_cur]
-    out_w = lw["out_w"].at[s_ix, e_cur].set(jnp.where(frozen, w_cur, w_new))
+    w_new = w_last - F32(ls.lr) * err[:, :, None] * lst["hidden"][:, None, :]
+    out_w = lw["out_w"].at[s_ix, e_cur].set(w_new)
     return _set(stm, lstm=lst), _set(ltm, lstm=_set(lw, out_w=out_w))
 
 
 # ---------------------------------------------------------------------------
-# per-bit step (j = bit index & 7, traced)
+# per-byte step (8 statically unrolled bit sub-steps)
 # ---------------------------------------------------------------------------
 
 _NS_NEXT = nonstationary_table()
@@ -400,7 +416,19 @@ _CHECK_MASKS = np.array([1, 128, 64, 32, 16, 8, 4, 2], np.uint32)
 _PRED_MASKS = np.array([128, 64, 32, 16, 8, 4, 2, 1], np.uint32)
 
 
-def _bit_step(
+def _tri_solve(Lmat: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Solve y = d + L_strict @ y, i.e. (I - tril(L, -1)) y = d, batched.
+
+    L[s, k, i] is mixer k's weight on earlier same-layer mixer i
+    (mixer.cpp:60-64); entries with i >= k are ignored.
+    """
+    a = -jnp.tril(Lmat, k=-1)
+    return jax.lax.linalg.triangular_solve(
+        a, d[..., None], left_side=True, lower=True, unit_diagonal=True
+    )[..., 0]
+
+
+def _byte_step(
     stm: Dict,
     ltm: Dict,
     coder: Dict,
@@ -408,385 +436,301 @@ def _bit_step(
     data_buf: jnp.ndarray,
     code_buf: jnp.ndarray,
     t: jnp.ndarray,
-    j: jnp.ndarray,
     decode: jnp.ndarray,
-    learn_enabled,
     meta: Meta,
+    learn: bool,
+    bptt_mode: str,
     sample_u=None,
     inv_temp=None,
 ):
+    """One byte: boundary work, 8 unrolled bit sub-steps, byte-end learn."""
     spec = meta.spec
-    slots = meta.slots
     S = stm["bits_seen"].shape[0]
-    s_ix = jnp.arange(S)
-    j_u = j.astype(U32)
-    is_j0 = j == 0
-    is_j7 = j == 7
-
-    # --- byte boundary (all byte-level models) ---
-    def run_boundary(op):
-        stm, ltm = op
-        return _boundary(stm, ltm, t, meta)
-
-    stm, ltm = jax.lax.cond(is_j0, run_boundary, lambda op: op, (stm, ltm))
-    data_byte = jax.lax.dynamic_slice_in_dim(data_buf, t, 1, axis=1)[:, 0].astype(U32)
-
-    # bits_seen counts every bit except the very first (basic-contexts.cpp:23-28);
-    # it doubles as the per-mixer steps_ counter (they are equal by construction).
-    first_bit = (t == 0) & is_j0
-    bits_seen = jnp.where(first_bit, stm["bits_seen"], stm["bits_seen"] + U32(1))
-
-    acc = stm["acc"]
-    bit_ctx = ((U32(1) << j_u) + acc) - U32(1)  # recent_bits - 1
-    last_byte = stm["last_byte"]
-    ctx = stm["ctx"]
-    ctx = ctx.at[:, slots["bit_ctx"]].set(bit_ctx)
-    ctx = ctx.at[:, slots["lb_recent"]].set((last_byte << U32(8)) + bit_ctx)
-    ctx = ctx.at[:, slots["slb_recent"]].set((stm["recent"][:, 1] << U32(8)) + bit_ctx)
-
-    preds = jnp.zeros((S, meta.n_pred), F32)
-    aux: Dict = {}
+    s_ix = jnp.arange(S)[:, None]
+    M = len(spec.indirects)
+    n0, n1 = meta.mix_n0, meta.mix_n1
+    K = n0 + n1 + 1
+    WP = meta.mix_width_pad
+    nskip = len(spec.skip_connection_cols)
     ns_next = jnp.asarray(_NS_NEXT)
     rm_next = jnp.asarray(_RM_NEXT)
 
-    # ---- indirect models: bucketed gather (indirect.cpp:28-45) ----
-    # per bucket: paired u8 state tables + combined state->logit table
-    for b in meta.ind_buckets:
-        key = f"b{b.table_bits}"
-        mem = ltm["ind"][key]
-        M, T = len(b.model_idxs), b.table_size
-        cvals = ctx[:, jnp.asarray(b.ctx_slots)]  # (S, M)
-        idx = _iar(((cvals << U32(8)) + bit_ctx[:, None]) & U32(T - 1))
-        m_ix = jnp.arange(M)[None, :]
-        ns_s = _iar(mem["ns_t"][s_ix[:, None], m_ix, idx])  # (S, M)
-        rm_s = _iar(mem["rm_t"][s_ix[:, None], m_ix, idx])
-        states = jnp.concatenate([ns_s, rm_s], axis=1)  # (S, 2M)
-        p_all = jnp.take_along_axis(mem["p"], states[:, :, None], axis=2)[..., 0]
-        active = jnp.concatenate(
-            [states[:, :M] != 255, states[:, M:] != 0], axis=1
-        )  # ns: 255 = unseen; rm: 0 = unseen
-        cols = jnp.concatenate([jnp.asarray(b.ns_cols), jnp.asarray(b.rm_cols)])
-        preds = preds.at[:, cols].set(jnp.where(active, p_all, F32(0.0)))
-        aux[key] = (idx, states)
+    # ---- byte boundary: contexts, PPM, LSTM forward ----
+    stm, ltm = _boundary(stm, ltm, t, meta)
+    data_byte = jax.lax.dynamic_slice_in_dim(data_buf, t, 1, axis=1)[:, 0].astype(U32)
 
-    # ---- match models (match.cpp:25-74) ----
+    # ---- match byte-boundary pointer logic (match.cpp:38-58) ----
     if spec.matches:
-        NM = len(spec.matches)
-        check_mask = jnp.asarray(_CHECK_MASKS)[j]
+        check_mask = U32(int(_CHECK_MASKS[0]))
         hit = stm["new_bit"][:, None] == ((stm["match_byte"] & check_mask) != 0).astype(U32)
         mlen = jnp.where(hit, jnp.minimum(stm["match_len"] + 1, 255), 0)
-
-        def match_boundary(op):
-            mlen, mptr, mbyte = op
-            # byte-boundary pointer logic (match.cpp:38-58)
-            mlen = jnp.where(mptr == (stm["hist_n"] - U32(1))[:, None], 0, mlen)
-            tbl_ptr = jnp.zeros((S, NM), U32)
-            for b in meta.match_buckets:
-                tb = ltm["match_tbl"][f"b{b.table_bits}"]  # (S, Mb, T)
-                cv = ctx[:, jnp.asarray(b.ctx_slots)]
-                ix = _iar(cv & U32((1 << b.table_bits) - 1))
-                got = tb[s_ix[:, None], jnp.arange(len(b.model_idxs))[None, :], ix]
-                tbl_ptr = tbl_ptr.at[:, jnp.asarray(np.array(b.model_idxs, np.int32))].set(got)
-            mptr = jnp.where(mlen < 8, tbl_ptr, mptr + U32(1))
-            hb = ltm["hist"][s_ix[:, None], _iar(mptr & U32(meta.history_size - 1))]
-            mbyte = jnp.where((stm["hist_n"] > 0)[:, None], hb.astype(U32), mbyte)
-            return mlen, mptr, mbyte
-
-        mlen, mptr, mbyte = jax.lax.cond(
-            is_j0, match_boundary, lambda op: op,
-            (mlen, stm["match_ptr"], stm["match_byte"]),
-        )
-        pred_mask = jnp.asarray(_PRED_MASKS)[j]
-        active = mlen > 2
-        mp = jnp.take_along_axis(ltm["match_pred"], mlen[:, :, None], axis=2)[..., 0]
-        p_prob = jnp.where((mbyte & pred_mask) != 0, mp, F32(1.0) - mp)
-        preds = preds.at[:, jnp.asarray(meta.match_cols)].set(
-            jnp.where(active, logit(p_prob), F32(0.0))
-        )
-        longest = jnp.max((mlen // 32).astype(U32), axis=1)  # match.cpp:71-73
-        ctx = ctx.at[:, slots["longest_match"]].set(longest)
+        mlen = jnp.where(stm["match_ptr"] == (stm["hist_n"] - U32(1))[:, None], 0, mlen)
+        mcv = stm["ctx"][:, jnp.asarray(meta.match_ctx_slots)]
+        match_ix = _iar(mcv & jnp.asarray(meta.match_masks)[None, :]) + jnp.asarray(
+            meta.match_offsets
+        )[None, :]
+        tbl_ptr = ltm["match_tbl"][s_ix, match_ix]
+        mptr = jnp.where(mlen < 8, tbl_ptr, stm["match_ptr"] + U32(1))
+        hb = ltm["hist"][s_ix, _iar(mptr & U32(meta.history_size - 1))]
+        mbyte = jnp.where((stm["hist_n"] > 0)[:, None], hb.astype(U32), stm["match_byte"])
         stm = _set(stm, match_ptr=mptr, match_byte=mbyte, match_len=mlen)
-        aux["match"] = (mlen, mbyte, pred_mask)
-    else:
-        longest = jnp.zeros((S,), U32)
 
-    # ---- PPM bit prediction (ModPPMD::Predict bit split, mod_ppmd.cpp:1662-1682) ----
-    if spec.ppm is not None:
-        lg, ptop, pbot, pmid = _interval_bit_pred(
-            stm["ppm_probs"], stm["ppm_top"], stm["ppm_bot"], stm["ppm_mid"],
-            stm["new_bit"], j,
-        )
-        preds = preds.at[:, spec.ppm_col].set(lg)
-        stm = _set(stm, ppm_top=ptop, ppm_bot=pbot, ppm_mid=pmid)
-
-    # ---- LSTM bit prediction (lstm-model.cpp:17-48) ----
-    if spec.lstm is not None:
-        lst = stm["lstm"]
-        lg, top, bot, mid = _interval_bit_pred(
-            lst["probs"], lst["top"], lst["bot"], lst["mid"], stm["new_bit"], j
-        )
-        preds = preds.at[:, spec.lstm_col].set(lg)
-        stm = _set(stm, lstm=_set(lst, top=top, bot=bot, mid=mid))
-
-    # ---- mixers (mixer.cpp:51-106) ----
-    stm = _set(stm, ctx=ctx, bits_seen=bits_seen)
-    mix_rows, mix_idx, mix_steps, ys, layer_bases = [], [], [], [], []
-    n0 = meta.mix_layers[0].n
-    n1 = meta.mix_layers[1].n
-    nskip = len(spec.skip_connection_cols)
-    skip_preds = (
-        preds[:, jnp.asarray(np.array(spec.skip_connection_cols, np.int32))]
-        if nskip
-        else jnp.zeros((S, 0), F32)
-    )
-    for ml in meta.mix_layers:
-        # gather weight rows + step counts for every mixer of the layer, k-order
-        rows = jnp.zeros((S, ml.n, ml.width_pad), F32)
-        idxs = jnp.zeros((S, ml.n), I32)
-        stepv = jnp.zeros((S, ml.n), U32)
-        cvals = ctx[:, jnp.asarray(ml.ctx_slots)]  # (S, K)
-        for tb, ks in ml.buckets.items():
-            key = f"l{ml.layer}b{tb}"
-            mem = ltm["mix"][key]
-            kcols = jnp.asarray(np.array(ks, np.int32))
-            ix = _iar(cvals[:, kcols] & U32((1 << tb) - 1))
-            kb = jnp.arange(len(ks))[None, :]
-            rows = rows.at[:, kcols].set(mem["w"][s_ix[:, None], kb, ix])
-            stepv = stepv.at[:, kcols].set(mem["steps"][s_ix[:, None], kb, ix])
-            idxs = idxs.at[:, kcols].set(ix)
-        # base input vector (zeros in the in-layer triangular region)
-        if ml.layer == 0:
-            base = jnp.concatenate(
-                [preds, jnp.zeros((S, ml.width_pad - meta.n_pred), F32)], axis=1
-            )
-            tri0 = meta.n_pred
-        elif ml.layer == 1:
-            base = jnp.concatenate(
-                [ys[0], jnp.zeros((S, n1), F32), skip_preds,
-                 jnp.zeros((S, ml.width_pad - n0 - n1 - nskip), F32)],
+    # ---- 8 bit sub-steps ----
+    for j in range(8):
+        ctx = stm["ctx"]
+        acc = stm["acc"]
+        # bits_seen counts every bit except the very first (basic-contexts.cpp:23-28);
+        # it doubles as the per-mixer steps_ counter (equal by construction).
+        inc = jnp.where(t == 0, U32(0), U32(1)) if j == 0 else U32(1)
+        bits_seen = stm["bits_seen"] + inc
+        bit_ctx = (U32(1 << j) + acc) - U32(1)  # recent_bits - 1
+        last_byte = stm["last_byte"]
+        ctx = ctx.at[:, jnp.asarray(meta.bit_ctx_cols)].set(
+            jnp.stack(
+                [
+                    bit_ctx,
+                    (last_byte << U32(8)) + bit_ctx,
+                    (stm["recent"][:, 1] << U32(8)) + bit_ctx,
+                ],
                 axis=1,
             )
-            tri0 = n0
-        else:
-            base = jnp.concatenate(
-                [ys[0], ys[1], skip_preds,
-                 jnp.zeros((S, ml.width_pad - n0 - n1 - nskip), F32)],
-                axis=1,
-            )
-            tri0 = None
-        dot_base = jnp.einsum("skw,sw->sk", rows, base, preferred_element_type=F32)
-        if tri0 is None or ml.n == 1:
-            y = dot_base
-        else:
-            outs = []
-            for k in range(ml.n):
-                yk = dot_base[:, k]
-                if k > 0:
-                    prev = jnp.stack(outs, axis=1)  # (S, k)
-                    yk = yk + jnp.einsum(
-                        "sk,sk->s", rows[:, k, tri0 : tri0 + k], prev,
-                        preferred_element_type=F32,
-                    )
-                outs.append(yk)
-            y = jnp.stack(outs, axis=1)
-        ys.append(y)
-        mix_rows.append(rows)
-        mix_idx.append(idxs)
-        mix_steps.append(stepv)
-        layer_bases.append(base)
+        )
 
-    final_logit = ys[2][:, 0]
-    prob = clamp_prob(logistic(final_logit))
-
-    # ---- arithmetic coder (encoder.cpp:10-25 / decoder.cpp:19-39, fused) ----
-    if sample_u is None:
-        enc_bit = (data_byte >> (U32(7) - j_u)) & U32(1)
-    else:
-        # temperature sampling (runner-utils.cpp:202-206)
-        p_temp = logistic(logit(prob) * inv_temp)
-        enc_bit = (sample_u < p_temp).astype(U32)
-    rpos = coder["rpos"]
-    look_ix = _iar(rpos[:, None] + U32(np.arange(4))[None, :])
-    in_bytes = code_buf[s_ix[:, None], jnp.minimum(look_ix, code_buf.shape[1] - 1)].astype(U32)
-    in_bytes = jnp.where(look_ix < code_buf.shape[1], in_bytes, U32(0))  # EOF reads 0
-    cst = coder_ops.CoderState(coder["x1"], coder["x2"], coder["x"])
-    bit, cst, emits, nrenorm = coder_ops.coder_bit(
-        cst, coder_ops.discretize(prob), enc_bit, in_bytes, decode
-    )
-    # encoder writes; decoder only advances its read cursor
-    wpos = coder["wpos"]
-    w_ix = wpos[:, None] + U32(np.arange(4))[None, :]
-    valid = (U32(np.arange(4))[None, :] < nrenorm.astype(U32)[:, None]) & jnp.logical_not(decode)
-    w_ix = jnp.where(valid, w_ix, U32(code_buf.shape[1]))  # OOB -> dropped
-    code_buf = code_buf.at[s_ix[:, None], _iar(w_ix)].set(
-        emits.astype(code_buf.dtype), mode="drop"
-    )
-    coder = {
-        "x1": cst.x1,
-        "x2": cst.x2,
-        "x": cst.x,
-        "wpos": wpos + jnp.where(decode, U32(0), nrenorm.astype(U32)),
-        "rpos": rpos + jnp.where(decode, nrenorm.astype(U32), U32(0)),
-    }
-
-    # cumulative cross-entropy metric (bits) (runner.cpp:96-101)
-    p_bit = jnp.where(bit == 1, prob, F32(1.0) - prob)
-    metrics = _set(metrics, ent=metrics["ent"] - jnp.log2(p_bit))
-
-    # per-column analysis EMA over model predictions, L0/L1 mixer outputs and
-    # the final output (Predictor::UpdateEntropy alpha=1e-5, predictor.cpp:439-469)
-    col_logits = jnp.concatenate([preds, ys[0], ys[1], final_logit[:, None]], axis=1)
-    p_cols = clamp_prob(logistic(col_logits))
-    pb_cols = jnp.where((bit == 1)[:, None], p_cols, F32(1.0) - p_cols)
-    metrics = _set(
-        metrics,
-        ema=metrics["ema"] + F32(1e-5) * (-jnp.log2(pb_cols) - metrics["ema"]),
-    )
-
-    # ---- Perceive + Learn ----
-    bitf = bit.astype(F32)
-    lr_gate = jnp.asarray(learn_enabled, F32)  # 0 disables all learning (generation)
-    cur_byte = (acc << U32(1)) | bit  # completed byte value when j == 7
-
-    # indirect Learn (indirect.cpp:47-70)
-    for b in meta.ind_buckets:
-        key = f"b{b.table_bits}"
-        mem = ltm["ind"][key]
-        M = len(b.model_idxs)
-        m2_ix = jnp.arange(2 * M)[None, :]
-        idx, states = aux[key]
-        lrs = jnp.tile(jnp.asarray(b.lrs)[None, :], (1, 2)) * lr_gate
-        # ns state 255 (unseen) learns/advances from slot 0 (indirect.cpp:49-51)
+        # ---- indirect models: ONE arena gather (indirect.cpp:28-45) ----
+        cvals = ctx[:, jnp.asarray(meta.ind_ctx_slots)]  # (S, M)
+        idx = _iar(((cvals << U32(8)) + bit_ctx[:, None]) & jnp.asarray(meta.ind_masks)[None, :])
+        fi_ns = idx + jnp.asarray(meta.ind_offsets)[None, :]
+        fi = jnp.concatenate([fi_ns, fi_ns + meta.ind_total], axis=1)  # (S, 2M)
+        st_raw = _iar(ltm["ind"]["st"][s_ix, fi])  # (S, 2M): [ns | rm] states
+        active_ind = jnp.concatenate(
+            [st_raw[:, :M] != 255, st_raw[:, M:] != 0], axis=1
+        )  # ns: 255 = unseen; rm: 0 = unseen
+        # ns state 255 (unseen) predicts/learns/advances from slot 0
+        # (indirect.cpp:49-51); its prediction is masked inactive anyway, so
+        # one gather serves both Predict and Learn.
         st_eff = jnp.concatenate(
-            [jnp.where(states[:, :M] == 255, 0, states[:, :M]), states[:, M:]],
-            axis=1,
+            [jnp.where(st_raw[:, :M] == 255, 0, st_raw[:, :M]), st_raw[:, M:]], axis=1
         )
-        p_cur = jnp.take_along_axis(mem["p"], st_eff[:, :, None], axis=2)[..., 0]
-        p_new = p_cur + (bitf[:, None] - logistic(p_cur)) * lrs
-        st_gated = jnp.where(lr_gate > 0, st_eff, 256)  # OOB -> frozen
-        p_tbl = mem["p"].at[s_ix[:, None], m2_ix, st_gated].set(p_new, mode="drop")
-        # state advance: ns half via the nonstationary table, rm half via the
-        # run-map table (both 256x2 -> flattened 512-entry next tables)
-        new_ns = jnp.take(ns_next, st_eff[:, :M] * 2 + _iar(bit)[:, None]).astype(jnp.uint8)
-        new_rm = jnp.take(rm_next, st_eff[:, M:] * 2 + _iar(bit)[:, None]).astype(jnp.uint8)
-        m_ix = jnp.arange(M)[None, :]
-        idx_gated = jnp.where(lr_gate > 0, idx, b.table_size)
-        ns_t = mem["ns_t"].at[s_ix[:, None], m_ix, idx_gated].set(new_ns, mode="drop")
-        rm_t = mem["rm_t"].at[s_ix[:, None], m_ix, idx_gated].set(new_rm, mode="drop")
-        ltm = _set(ltm, ind=_set(ltm["ind"], **{key: {"ns_t": ns_t, "rm_t": rm_t, "p": p_tbl}}))
+        p_cur = jnp.take_along_axis(ltm["ind"]["p"], st_eff[:, :, None], axis=2)[..., 0]
+        ind_preds = jnp.where(active_ind, p_cur, F32(0.0))  # (S, 2M) [ns | rm]
+        # interleave to the prediction-column order [ns0, rm0, ns1, rm1, ...]
+        ind_pair = jnp.stack([ind_preds[:, :M], ind_preds[:, M:]], axis=2).reshape(S, 2 * M)
 
-    # match per-bit Learn (match.cpp:79-90)
-    if spec.matches:
-        NM = len(spec.matches)
-        m_ix = jnp.arange(NM)[None, :]
-        mlen, mbyte, pred_mask = aux["match"]
-        hit2 = (bit[:, None] == ((mbyte & pred_mask) != 0).astype(U32)).astype(F32)
-        cnt = jnp.take_along_axis(ltm["match_cnt"], mlen[:, :, None], axis=2)[..., 0]
-        limits = jnp.asarray(meta.match_limits)[None, :]
-        grow = cnt < limits
-        cnt_new = jnp.where(grow, cnt + 1, cnt)
-        lr = F32(1.0) / jnp.where(grow, cnt_new, limits).astype(F32) * lr_gate
-        mp = jnp.take_along_axis(ltm["match_pred"], mlen[:, :, None], axis=2)[..., 0]
-        mp_new = mp + (hit2 - mp) * lr
-        upd_len = jnp.where((mlen > 2) & (lr_gate > 0), mlen, 256)  # gate via OOB drop
-        match_pred = ltm["match_pred"].at[s_ix[:, None], m_ix, upd_len].set(mp_new, mode="drop")
-        match_cnt = ltm["match_cnt"].at[s_ix[:, None], m_ix, upd_len].set(cnt_new, mode="drop")
-        ltm = _set(ltm, match_pred=match_pred, match_cnt=match_cnt)
+        # ---- match models (match.cpp:25-74) ----
+        if spec.matches:
+            if j > 0:
+                check_mask = U32(int(_CHECK_MASKS[j]))
+                hit = stm["new_bit"][:, None] == (
+                    (stm["match_byte"] & check_mask) != 0
+                ).astype(U32)
+                mlen = jnp.where(hit, jnp.minimum(stm["match_len"] + 1, 255), 0)
+                stm = _set(stm, match_len=mlen)
+            mlen = stm["match_len"]
+            mbyte = stm["match_byte"]
+            pred_mask = U32(int(_PRED_MASKS[j]))
+            active = mlen > 2
+            mp = jnp.take_along_axis(ltm["match_pred"], mlen[:, :, None], axis=2)[..., 0]
+            p_prob = jnp.where((mbyte & pred_mask) != 0, mp, F32(1.0) - mp)
+            match_preds = jnp.where(active, logit(p_prob), F32(0.0))
+            longest = jnp.max((mlen // 32).astype(U32), axis=1)  # match.cpp:71-73
+            ctx = ctx.at[:, meta.slots["longest_match"]].set(longest)
+        else:
+            match_preds = jnp.zeros((S, 0), F32)
+            longest = jnp.zeros((S,), U32)
 
-    # ---- byte-end Learn: history append, match pointer write, LSTM perceive ----
-    def byte_end(op):
-        stm, ltm = op
+        # ---- PPM + LSTM bit predictions (interval narrowing) ----
+        head = []
+        if spec.ppm is not None:
+            lg, ptop, pbot, pmid = _interval_bit_pred(
+                stm["ppm_probs"], stm["ppm_top"], stm["ppm_bot"], stm["ppm_mid"],
+                stm["new_bit"], j,
+            )
+            head.append(lg[:, None])
+            stm = _set(stm, ppm_top=ptop, ppm_bot=pbot, ppm_mid=pmid)
+        if spec.lstm is not None:
+            lst = stm["lstm"]
+            lg, top, bot, mid = _interval_bit_pred(
+                lst["probs"], lst["top"], lst["bot"], lst["mid"], stm["new_bit"], j
+            )
+            head.append(lg[:, None])
+            stm = _set(stm, lstm=_set(lst, top=top, bot=bot, mid=mid))
+
+        # prediction vector, column order [ppm?, lstm?, ind pairs..., matches...]
+        preds = jnp.concatenate(head + [ind_pair, match_preds], axis=1)
+
+        # ---- mixers (mixer.cpp:51-106): one row-arena gather, triangular
+        # solves for the in-layer chains, then the final unit ----
+        stm = _set(stm, ctx=ctx, bits_seen=bits_seen)
+        skip_preds = (
+            preds[:, jnp.asarray(np.array(spec.skip_connection_cols, np.int32))]
+            if nskip
+            else jnp.zeros((S, 0), F32)
+        )
+        mixcv = ctx[:, jnp.asarray(meta.mix_ctx_slots)]  # (S, K)
+        rowix = _iar(mixcv & jnp.asarray(meta.mix_masks)[None, :]) + jnp.asarray(
+            meta.mix_offsets
+        )[None, :]
+        rows = ltm["mix_w"][s_ix, rowix]  # (S, K, WP)
+        stepv = ltm["mix_steps"][s_ix, rowix]  # (S, K)
+
+        base0 = jnp.concatenate([preds, jnp.zeros((S, WP - meta.n_pred), F32)], axis=1)
+        d0 = jnp.einsum("skw,sw->sk", rows[:, :n0], base0, preferred_element_type=F32)
+        y0 = _tri_solve(rows[:, :n0, meta.n_pred : meta.n_pred + n0], d0) if n0 > 1 else d0
+
+        base1 = jnp.concatenate(
+            [y0, jnp.zeros((S, n1), F32), skip_preds,
+             jnp.zeros((S, WP - n0 - n1 - nskip), F32)], axis=1
+        )
+        d1 = jnp.einsum("skw,sw->sk", rows[:, n0 : n0 + n1], base1, preferred_element_type=F32)
+        y1 = _tri_solve(rows[:, n0 : n0 + n1, n0 : n0 + n1], d1) if n1 > 1 else d1
+
+        base2 = jnp.concatenate(
+            [y0, y1, skip_preds, jnp.zeros((S, WP - n0 - n1 - nskip), F32)], axis=1
+        )
+        final_logit = jnp.einsum("sw,sw->s", rows[:, K - 1], base2, preferred_element_type=F32)
+        prob = clamp_prob(logistic(final_logit))
+
+        # ---- arithmetic coder (encoder.cpp:10-25 / decoder.cpp:19-39) ----
+        if sample_u is None:
+            enc_bit = (data_byte >> U32(7 - j)) & U32(1)
+        else:
+            # temperature sampling (runner-utils.cpp:202-206)
+            p_temp = logistic(logit(prob) * inv_temp)
+            enc_bit = (sample_u[j] < p_temp).astype(U32)
+        rpos = coder["rpos"]
+        look_ix = _iar(rpos[:, None] + U32(np.arange(4))[None, :])
+        in_bytes = code_buf[s_ix, jnp.minimum(look_ix, code_buf.shape[1] - 1)].astype(U32)
+        in_bytes = jnp.where(look_ix < code_buf.shape[1], in_bytes, U32(0))  # EOF reads 0
+        cst = coder_ops.CoderState(coder["x1"], coder["x2"], coder["x"])
+        bit, cst, emits, nrenorm = coder_ops.coder_bit(
+            cst, coder_ops.discretize(prob), enc_bit, in_bytes, decode
+        )
+        # encoder writes; decoder only advances its read cursor
+        wpos = coder["wpos"]
+        w_ix = wpos[:, None] + U32(np.arange(4))[None, :]
+        valid = (U32(np.arange(4))[None, :] < nrenorm.astype(U32)[:, None]) & jnp.logical_not(decode)
+        w_ix = jnp.where(valid, w_ix, U32(code_buf.shape[1]))  # OOB -> dropped
+        code_buf = code_buf.at[s_ix, _iar(w_ix)].set(
+            emits.astype(code_buf.dtype), mode="drop"
+        )
+        coder = {
+            "x1": cst.x1,
+            "x2": cst.x2,
+            "x": cst.x,
+            "wpos": wpos + jnp.where(decode, U32(0), nrenorm.astype(U32)),
+            "rpos": rpos + jnp.where(decode, nrenorm.astype(U32), U32(0)),
+        }
+
+        # cumulative cross-entropy metric (bits) (runner.cpp:96-101)
+        p_bit = jnp.where(bit == 1, prob, F32(1.0) - prob)
+        metrics = _set(metrics, ent=metrics["ent"] - jnp.log2(p_bit))
+        # per-column analysis EMA over model predictions, L0/L1 mixer outputs
+        # and the final output (UpdateEntropy alpha=1e-5, predictor.cpp:439-469)
+        col_logits = jnp.concatenate([preds, y0, y1, final_logit[:, None]], axis=1)
+        p_cols = clamp_prob(logistic(col_logits))
+        pb_cols = jnp.where((bit == 1)[:, None], p_cols, F32(1.0) - p_cols)
+        metrics = _set(
+            metrics,
+            ema=metrics["ema"] + F32(1e-5) * (-jnp.log2(pb_cols) - metrics["ema"]),
+        )
+
+        bitf = bit.astype(F32)
+        cur_byte = (acc << U32(1)) | bit  # completed byte value at j == 7
+
+        if learn:
+            # indirect Learn (indirect.cpp:47-70): one p + one state scatter
+            p_new = p_cur + (bitf[:, None] - logistic(p_cur)) * jnp.asarray(meta.ind_lrs)[None, :]
+            p_tbl = ltm["ind"]["p"].at[s_ix, jnp.arange(2 * M)[None, :], st_eff].set(
+                p_new, unique_indices=True
+            )
+            # state advance: ns half via the nonstationary table, rm half via
+            # the run-map table (256x2 -> flattened 512-entry next tables)
+            new_ns = jnp.take(ns_next, st_eff[:, :M] * 2 + _iar(bit)[:, None])
+            new_rm = jnp.take(rm_next, st_eff[:, M:] * 2 + _iar(bit)[:, None])
+            new_st = jnp.concatenate([new_ns, new_rm], axis=1).astype(jnp.uint8)
+            st_tbl = ltm["ind"]["st"].at[s_ix, fi].set(new_st, unique_indices=True)
+            ltm = _set(ltm, ind={"st": st_tbl, "p": p_tbl})
+
+            # match per-bit Learn (match.cpp:79-90)
+            if spec.matches:
+                NM = len(spec.matches)
+                m_ix = jnp.arange(NM)[None, :]
+                hit2 = (bit[:, None] == ((mbyte & pred_mask) != 0).astype(U32)).astype(F32)
+                cnt = jnp.take_along_axis(ltm["match_cnt"], mlen[:, :, None], axis=2)[..., 0]
+                limits = jnp.asarray(meta.match_limits)[None, :]
+                grow = cnt < limits
+                cnt_new = jnp.where(grow, cnt + 1, cnt)
+                lr = F32(1.0) / jnp.where(grow, cnt_new, limits).astype(F32)
+                mp_new = mp + (hit2 - mp) * lr
+                upd_on = mlen > 2  # only matched rows learn (match.cpp:79)
+                match_pred = ltm["match_pred"].at[s_ix, m_ix, mlen].set(
+                    jnp.where(upd_on, mp_new, mp), unique_indices=True
+                )
+                match_cnt = ltm["match_cnt"].at[s_ix, m_ix, mlen].set(
+                    jnp.where(upd_on, cnt_new, cnt), unique_indices=True
+                )
+                ltm = _set(ltm, match_pred=match_pred, match_cnt=match_cnt)
+
+            # mixer Learn (mixer.cpp:108-176): one w + one steps scatter
+            steps_f = bits_seen.astype(F32)
+            decay_global = F32(0.9) / jnp.power(F32(1e-7) * steps_f + F32(0.8), F32(0.8))
+            max_steps = ltm["mix_max_steps"]
+            y_all = jnp.concatenate([y0, y1, final_logit[:, None]], axis=1)  # (S, K)
+            novelty = F32(1.5) - stepv.astype(F32) / max_steps.astype(F32)
+            upd = (
+                decay_global[:, None] * novelty * jnp.asarray(meta.mix_lrs)[None, :]
+                * (logistic(y_all) - bitf[:, None])
+            )  # (S, K)
+            # input matrix: per-layer base + strictly-lower in-layer part
+            tril0 = jnp.tril(jnp.ones((n0, n0), F32), k=-1)
+            in0 = jnp.broadcast_to(base0[:, None, :], (S, n0, WP))
+            in0 = in0.at[:, :, meta.n_pred : meta.n_pred + n0].set(y0[:, None, :] * tril0[None])
+            tril1 = jnp.tril(jnp.ones((n1, n1), F32), k=-1)
+            in1 = jnp.broadcast_to(base1[:, None, :], (S, n1, WP))
+            in1 = in1.at[:, :, n0 : n0 + n1].set(y1[:, None, :] * tril1[None])
+            inputs = jnp.concatenate([in0, in1, base2[:, None, :]], axis=1)  # (S, K, WP)
+            w_new = rows - upd[:, :, None] * inputs
+            steps_new = stepv + U32(1)
+            wd = (steps_new & U32(1023)) == 0  # weight decay every 1024 context-steps
+            w_new = w_new * jnp.where(wd, F32(1.0) - F32(3e-6), F32(1.0))[:, :, None]
+            mix_w = ltm["mix_w"].at[s_ix, rowix].set(w_new, unique_indices=True)
+            mix_steps = ltm["mix_steps"].at[s_ix, rowix].set(steps_new, unique_indices=True)
+            max_steps = jnp.maximum(max_steps, steps_new)
+            ltm = _set(ltm, mix_w=mix_w, mix_steps=mix_steps, mix_max_steps=max_steps)
+
+        # advance bit registers
+        stm = _set(stm, new_bit=bit, acc=(acc << U32(1)) | bit)
+
+    # ---- byte end: history append, match pointer write, LSTM perceive ----
+    # (cur_byte from the j == 7 iteration is the completed byte)
+    if learn:
         hist_n = stm["hist_n"]
-        append = (longest < 2) & (lr_gate > 0)
+        append = longest < 2
         hpos = jnp.where(append, hist_n & U32(meta.history_size - 1), U32(meta.history_size))
         ltm = _set(
             ltm,
-            hist=ltm["hist"].at[s_ix, _iar(hpos)].set(
+            hist=ltm["hist"].at[s_ix[:, 0], _iar(hpos)].set(
                 cur_byte.astype(ltm["hist"].dtype), mode="drop"
             ),
         )
         hist_n = hist_n + append.astype(U32)
         stm = _set(stm, hist_n=hist_n)
         if spec.matches:
-            write = (longest < 2) & (lr_gate > 0)
+            # match.cpp:92-108: tables skip updates on long matches
             newp = hist_n - U32(1)  # position of the just-appended byte
-            mt = dict(ltm["match_tbl"])
-            for b in meta.match_buckets:
-                kk = f"b{b.table_bits}"
-                cv = ctx[:, jnp.asarray(b.ctx_slots)]
-                ix = _iar(cv & U32((1 << b.table_bits) - 1))
-                ix = jnp.where(write[:, None], ix, 1 << b.table_bits)
-                mt[kk] = mt[kk].at[
-                    s_ix[:, None], jnp.arange(len(b.model_idxs))[None, :], ix
-                ].set(jnp.broadcast_to(newp[:, None], ix.shape), mode="drop")
-            ltm = _set(ltm, match_tbl=mt)
+            old = ltm["match_tbl"][s_ix, match_ix]
+            val = jnp.where(append[:, None], jnp.broadcast_to(newp[:, None], match_ix.shape), old)
+            ltm = _set(
+                ltm,
+                match_tbl=ltm["match_tbl"].at[s_ix, match_ix].set(val, unique_indices=True),
+            )
         if spec.lstm is not None:
-            stm, ltm = _lstm_perceive(stm, ltm, _iar(cur_byte), lr_gate, meta)
-        return stm, ltm
+            stm, ltm = _lstm_perceive(stm, ltm, _iar(cur_byte), meta, bptt_mode)
 
-    stm, ltm = jax.lax.cond(is_j7, byte_end, lambda op: op, (stm, ltm))
-
-    # mixer Learn (mixer.cpp:108-176)
-    steps_f = bits_seen.astype(F32)
-    decay_global = F32(0.9) / jnp.power(F32(1e-7) * steps_f + F32(0.8), F32(0.8))  # (S,)
-    mixer_base = 0
-    max_steps = ltm["mix_max_steps"]
-    new_mix = dict(ltm["mix"])
-    for li_, ml in enumerate(meta.mix_layers):
-        rows, idxs, stepv = mix_rows[li_], mix_idx[li_], mix_steps[li_]
-        y = ys[li_]
-        ms_cols = jnp.arange(mixer_base, mixer_base + ml.n)
-        ms = max_steps[:, ms_cols].astype(F32)  # (S, K)
-        novelty = F32(1.5) - stepv.astype(F32) / ms
-        upd = (
-            decay_global[:, None]
-            * novelty
-            * jnp.asarray(ml.lrs)[None, :]
-            * (logistic(y) - bitf[:, None])
-            * lr_gate
-        )  # (S, K)
-        # input matrix: base + in-layer triangular part
-        base = layer_bases[li_]
-        inputs = jnp.broadcast_to(base[:, None, :], (base.shape[0], ml.n, ml.width_pad))
-        if ml.layer in (0, 1) and ml.n > 1:
-            tri0 = meta.n_pred if ml.layer == 0 else n0
-            tril = jnp.tril(jnp.ones((ml.n, ml.n), F32), k=-1)  # i<k strictly
-            tri_in = y[:, None, :] * tril[None, :, :]  # (S, K, K)
-            inputs = inputs.at[:, :, tri0 : tri0 + ml.n].set(tri_in)
-        w_new = rows - upd[:, :, None] * inputs
-        steps_new = stepv + U32(1)
-        wd = (steps_new & U32(1023)) == 0
-        w_new = w_new * jnp.where(wd, F32(1.0) - F32(3e-6), F32(1.0))[:, :, None]
-        ms_new = jnp.maximum(max_steps[:, ms_cols], steps_new)
-        max_steps = max_steps.at[:, ms_cols].set(
-            jnp.where(lr_gate > 0, ms_new, max_steps[:, ms_cols])
-        )
-        for tb, ks in ml.buckets.items():
-            key = f"l{ml.layer}b{tb}"
-            mem = new_mix[key]
-            kcols = jnp.asarray(np.array(ks, np.int32))
-            kb = jnp.arange(len(ks))[None, :]
-            ix = idxs[:, kcols]
-            ix = jnp.where(lr_gate > 0, ix, 1 << tb)
-            new_mix[key] = {
-                "w": mem["w"].at[s_ix[:, None], kb, ix].set(w_new[:, kcols], mode="drop"),
-                "steps": mem["steps"].at[s_ix[:, None], kb, ix].set(
-                    steps_new[:, kcols], mode="drop"
-                ),
-            }
-        mixer_base += ml.n
-    ltm = _set(ltm, mix=new_mix, mix_max_steps=max_steps)
-
-    # advance bit registers; write the reconstructed byte at byte end (decode
-    # reconstructs; encode rewrites the identical value - one unified program)
-    stm = _set(stm, new_bit=bit, acc=(acc << U32(1)) | bit)
-    data_buf = jax.lax.cond(
-        is_j7,
-        lambda db: jax.lax.dynamic_update_slice_in_dim(
-            db, cur_byte.astype(db.dtype)[:, None], t, axis=1
-        ),
-        lambda db: db,
-        data_buf,
+    # write the reconstructed byte (decode reconstructs; encode rewrites the
+    # identical value - one unified program)
+    data_buf = jax.lax.dynamic_update_slice_in_dim(
+        data_buf, cur_byte.astype(data_buf.dtype)[:, None], t, axis=1
     )
     return stm, ltm, coder, metrics, data_buf, code_buf
 
@@ -796,58 +740,83 @@ def _bit_step(
 # ---------------------------------------------------------------------------
 
 
-def make_chunk_fn(meta: Meta, chunk: int):
+def make_chunk_fn(meta: Meta, chunk: int, learn: bool = True):
     """Build the jitted chunk processor.
 
-    fn(state, data_buf, code_buf, t0, decode, learn_enabled) ->
-        (state, data_buf, code_buf)
-    processes `chunk` bytes (chunk*8 bits) starting at byte offset t0.
+    fn(state, data_buf, code_buf, t0, decode) -> (state, data_buf, code_buf)
+    processes `chunk` bytes starting at byte offset t0. With learning on and
+    an LSTM whose horizon divides the chunk, the scan nests as
+    [segments x horizon] and BPTT runs unconditionally at segment ends
+    (callers must then keep t0 horizon-aligned, which chunk-multiple t0
+    guarantees); otherwise BPTT sits behind a lax.cond.
     """
+    spec = meta.spec
+    Hz = spec.lstm.horizon if spec.lstm is not None else 0
+    seg_aligned = learn and Hz > 0 and chunk % Hz == 0
+    bptt_mode = "defer" if seg_aligned else "cond"
 
-    def bit_scan_step(carry, b):
-        state, data_buf, code_buf, decode, learn_enabled = carry
-        t = (b >> 3).astype(jnp.int32)
-        j = (b & 7).astype(jnp.int32)
+    def byte_scan_step(carry, t):
+        state, data_buf, code_buf, decode = carry
         stm, ltm, coder, metrics = (
             state["stm"], state["ltm"], state["coder"], state["metrics"],
         )
-        stm, ltm, coder, metrics, data_buf, code_buf = _bit_step(
-            stm, ltm, coder, metrics, data_buf, code_buf, t, j, decode,
-            learn_enabled, meta,
+        stm, ltm, coder, metrics, data_buf, code_buf = _byte_step(
+            stm, ltm, coder, metrics, data_buf, code_buf, t, decode,
+            meta, learn, bptt_mode,
         )
         return (
             {"stm": stm, "ltm": ltm, "coder": coder, "metrics": metrics},
             data_buf,
             code_buf,
             decode,
-            learn_enabled,
         ), ()
 
-    def chunk_fn(state, data_buf, code_buf, t0, decode, learn_enabled):
-        carry = (state, data_buf, code_buf, decode, learn_enabled)
-        bits = t0.astype(jnp.int32) * 8 + jnp.arange(chunk * 8, dtype=jnp.int32)
-        carry, _ = jax.lax.scan(bit_scan_step, carry, bits)
-        return carry[0], carry[1], carry[2]
+    if seg_aligned:
+
+        def seg_step(carry, s0):
+            carry, _ = jax.lax.scan(byte_scan_step, carry, s0 + jnp.arange(Hz, dtype=I32))
+            state = carry[0]
+            # epoch wrapped exactly now; run the deferred BPTT unconditionally
+            lst, lw = _lstm_bptt(state["stm"]["lstm"], state["ltm"]["lstm"], meta)
+            state = _set(
+                state,
+                stm=_set(state["stm"], lstm=lst),
+                ltm=_set(state["ltm"], lstm=lw),
+            )
+            return (state,) + carry[1:], ()
+
+        def chunk_fn(state, data_buf, code_buf, t0, decode):
+            carry = (state, data_buf, code_buf, decode)
+            starts = t0.astype(I32) + jnp.arange(0, chunk, Hz, dtype=I32)
+            carry, _ = jax.lax.scan(seg_step, carry, starts)
+            return carry[0], carry[1], carry[2]
+
+    else:
+
+        def chunk_fn(state, data_buf, code_buf, t0, decode):
+            carry = (state, data_buf, code_buf, decode)
+            ts = t0.astype(I32) + jnp.arange(chunk, dtype=I32)
+            carry, _ = jax.lax.scan(byte_scan_step, carry, ts)
+            return carry[0], carry[1], carry[2]
 
     return jax.jit(chunk_fn, donate_argnums=(0, 1, 2))
 
 
 def make_gen_chunk_fn(meta: Meta, chunk: int):
-    """Jitted generation chunk: temperature sampling with learning gated off
-    (runner-utils.cpp:196-215). fn(state, data_buf, t0, u, inv_temp) ->
-    (state, data_buf); u is (chunk*8, S) uniforms."""
+    """Jitted generation chunk: temperature sampling with NO learn code in
+    the program at all (runner-utils.cpp:196-215).
+    fn(state, data_buf, t0, u, inv_temp) -> (state, data_buf);
+    u is (chunk*8, S) uniforms."""
 
-    def bit_scan_step(carry, xs):
-        b, u = xs
+    def byte_scan_step(carry, xs):
+        t, u = xs  # u: (8, S)
         state, data_buf, code_buf, inv_temp = carry
-        t = (b >> 3).astype(jnp.int32)
-        j = (b & 7).astype(jnp.int32)
         stm, ltm, coder, metrics = (
             state["stm"], state["ltm"], state["coder"], state["metrics"],
         )
-        stm, ltm, coder, metrics, data_buf, code_buf = _bit_step(
-            stm, ltm, coder, metrics, data_buf, code_buf, t, j,
-            jnp.asarray(False), jnp.asarray(0.0, F32), meta,
+        stm, ltm, coder, metrics, data_buf, code_buf = _byte_step(
+            stm, ltm, coder, metrics, data_buf, code_buf, t,
+            jnp.asarray(False), meta, False, "cond",
             sample_u=u, inv_temp=inv_temp,
         )
         return (
@@ -860,20 +829,21 @@ def make_gen_chunk_fn(meta: Meta, chunk: int):
     def gen_fn(state, data_buf, t0, u, inv_temp):
         S = data_buf.shape[0]
         code_buf = jnp.zeros((S, 8), jnp.uint8)  # sink; all writes dropped
-        bits = t0.astype(jnp.int32) * 8 + jnp.arange(chunk * 8, dtype=jnp.int32)
+        ts = t0.astype(I32) + jnp.arange(chunk, dtype=I32)
+        u = u.reshape(chunk, 8, S)
         carry = (state, data_buf, code_buf, inv_temp)
-        carry, _ = jax.lax.scan(bit_scan_step, carry, (bits, u))
+        carry, _ = jax.lax.scan(byte_scan_step, carry, (ts, u))
         return carry[0], carry[1]
 
     return jax.jit(gen_fn, donate_argnums=(0, 1))
 
 
 @functools.lru_cache(maxsize=64)
-def get_chunk_fn(spec: EnsembleSpec, chunk: int):
+def get_chunk_fn(spec: EnsembleSpec, chunk: int, learn: bool = True):
     """Process-wide compile cache: one jitted chunk program per (spec, chunk)."""
     from .meta import build_meta
 
-    return make_chunk_fn(build_meta(spec), chunk)
+    return make_chunk_fn(build_meta(spec), chunk, learn)
 
 
 @functools.lru_cache(maxsize=16)

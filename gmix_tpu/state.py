@@ -53,41 +53,30 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
 
     ltm: Dict = {}
 
-    # --- indirect models ---
-    # Per bucket: one u8 state table pair [ns | rm] stacked on the model axis
-    # (ns init 255 = never seen, rm init 0; long-term-memory.h:11-16) and the
-    # shared 256-entry state->logit tables. Power-of-two T keeps XLA:TPU's
-    # vectorized scatter emitter engaged (see core/meta.py note).
-    ind = {}
-    for b in meta.ind_buckets:
-        M, T = len(b.model_idxs), b.table_size
-        ind[f"b{b.table_bits}"] = {
-            "ns_t": jnp.full((S, M, T), 255, u8),
-            "rm_t": jnp.zeros((S, M, T), u8),
-            "p": jnp.zeros((S, 2 * M, 256), f32),
-        }
-    ltm["ind"] = ind
+    # --- indirect models: ONE flat u8 state arena [ns half | rm half] (ns
+    # init 255 = never seen, rm init 0; long-term-memory.h:11-16) and the
+    # shared 256-entry state->logit tables (rows [ns models | rm models]).
+    # Power-of-two per-model tables keep XLA:TPU's vectorized scatter emitter
+    # engaged (see core/meta.py note).
+    M = len(spec.indirects)
+    ltm["ind"] = {
+        "st": jnp.concatenate(
+            [jnp.full((S, meta.ind_total), 255, u8), jnp.zeros((S, meta.ind_total), u8)],
+            axis=1,
+        ),
+        "p": jnp.zeros((S, 2 * M, 256), f32),
+    }
 
-    # --- mixers ---
-    mix = {}
-    n_mixers_total = 0
-    for ml in meta.mix_layers:
-        n_mixers_total += ml.n
-        for tb, ks in ml.buckets.items():
-            mix[f"l{ml.layer}b{tb}"] = {
-                "w": jnp.zeros((S, len(ks), 1 << tb, ml.width_pad), f32),
-                "steps": jnp.zeros((S, len(ks), 1 << tb), u32),
-            }
-    ltm["mix"] = mix
-    ltm["mix_max_steps"] = jnp.ones((S, n_mixers_total), u32)  # mixer.cpp:8
+    # --- mixers: one flat row arena across all layers ---
+    K = meta.mix_n0 + meta.mix_n1 + 1
+    ltm["mix_w"] = jnp.zeros((S, meta.mix_total_rows, meta.mix_width_pad), f32)
+    ltm["mix_steps"] = jnp.zeros((S, meta.mix_total_rows), u32)
+    ltm["mix_max_steps"] = jnp.ones((S, K), u32)  # mixer.cpp:8
 
     # --- match models ---
     if spec.matches:
         nm = len(spec.matches)
-        mt = {}
-        for b in meta.match_buckets:
-            mt[f"b{b.table_bits}"] = jnp.zeros((S, len(b.model_idxs), 1 << b.table_bits), u32)
-        ltm["match_tbl"] = mt
+        ltm["match_tbl"] = jnp.zeros((S, meta.match_total), u32)
         # predictions[i] = 0.5 + (i+0.5)/512, counts = 1 (match.cpp:19-23)
         pred0 = 0.5 + (np.arange(256, dtype=np.float32) + 0.5) / 512.0
         ltm["match_pred"] = jnp.broadcast_to(jnp.asarray(pred0, f32), (S, nm, 256)).copy()
@@ -97,10 +86,7 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
     # the reference (indirect-hash.cpp:33-54 via predictor.cpp:396-399) and
     # still updating during generation ---
     if spec.ihash_ctxs:
-        ih = {}
-        for b in meta.ih_buckets:
-            ih[f"b{b.table_bits}"] = jnp.zeros((S, len(b.ctx_idxs), 1 << b.table_bits), u32)
-        stm["ih"] = ih
+        stm["ih_tbl"] = jnp.zeros((S, meta.ih_total), u32)
 
     # --- dedup history ring ---
     ltm["hist"] = jnp.zeros((S, meta.history_size), u8)
@@ -110,10 +96,7 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
     # serialized as short-term state and keeps updating during generation
     # (mod_ppmd.cpp:1-6, tester.cpp:358-366) ---
     if spec.ppm is not None:
-        stm["ppm"] = {
-            f"o{i}": jnp.zeros((S, 1 << o.table_bits, 256), jnp.uint16)
-            for i, o in enumerate(spec.ppm.orders)
-        }
+        stm["ppm_tbl"] = jnp.zeros((S, meta.ppm_total_rows, 256), jnp.uint16)
         stm["ppm_top"] = jnp.full((S,), 255, i32)
         stm["ppm_bot"] = jnp.zeros((S,), i32)
         stm["ppm_mid"] = jnp.full((S,), 127, i32)
@@ -123,24 +106,30 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
         ls = spec.lstm
         C, Hz = ls.num_cells, ls.horizon
         LI = ls.input_size + C + 1  # [aux, hidden, bias]
-        RW = ls.output_size + LI  # weight row: [one-hot symbol | input vec]
+        OUT = ls.output_size
         # Xavier-uniform like lstm-layer.cpp:179-195 (our own PRNG; encoder and
-        # decoder both derive the identical init from the fixed seed).
+        # decoder both derive the identical init from the fixed seed). The
+        # reference's single weight row [one-hot symbol | input vec] is stored
+        # split (w_sym | w_in) so the hot loop never slices it (layout copies).
         val = math.sqrt(6.0 / float(ls.input_size + ls.output_size))
-        key = jax.random.PRNGKey(seed)
-        gate_w = jax.random.uniform(key, (3, C, RW), f32, -val, val)
-        gate_w = gate_w.at[0, :, RW - 1].set(1.0)  # forget-gate bias column = 1
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        w_sym = jax.random.uniform(k1, (3, C, OUT), f32, -val, val)
+        w_in = jax.random.uniform(k2, (3, C, LI), f32, -val, val)
+        w_in = w_in.at[0, :, LI - 1].set(1.0)  # forget-gate bias column = 1
         ltm["lstm"] = {
-            "gate_w": jnp.broadcast_to(gate_w, (S, 3, C, RW)).copy(),
-            "gate_m": jnp.zeros((S, 3, C, RW), f32),
-            "gate_v": jnp.zeros((S, 3, C, RW), f32),
+            "w_sym": jnp.broadcast_to(w_sym, (S, 3, C, OUT)).copy(),
+            "sym_m": jnp.zeros((S, 3, C, OUT), f32),
+            "sym_v": jnp.zeros((S, 3, C, OUT), f32),
+            "w_in": jnp.broadcast_to(w_in, (S, 3, C, LI)).copy(),
+            "in_m": jnp.zeros((S, 3, C, LI), f32),
+            "in_v": jnp.zeros((S, 3, C, LI), f32),
             "gamma": jnp.ones((S, 3, C), f32),
             "beta": jnp.zeros((S, 3, C), f32),
             "gamma_m": jnp.zeros((S, 3, C), f32),
             "gamma_v": jnp.zeros((S, 3, C), f32),
             "beta_m": jnp.zeros((S, 3, C), f32),
             "beta_v": jnp.zeros((S, 3, C), f32),
-            "out_w": jnp.zeros((S, Hz, ls.output_size, C + 1), f32),
+            "out_w": jnp.zeros((S, Hz, OUT, C + 1), f32),
         }
         hidden = jnp.zeros((S, C + 1), f32).at[:, C].set(1.0)  # bias lane (lstm.cpp:31)
         layer_input = jnp.zeros((S, Hz, LI), f32).at[:, :, LI - 1].set(1.0)
@@ -151,9 +140,9 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
             "mid": jnp.full((S,), 127, i32),
             "cell": jnp.zeros((S, C), f32),
             "hidden": hidden,
-            "hidden_err": jnp.zeros((S, C), f32),
             "state_err": jnp.zeros((S, C), f32),
             "stored_err": jnp.zeros((S, C), f32),
+            "old_input": jnp.zeros((S,), i32),
             "norm": jnp.zeros((S, 3, Hz, C), f32),
             "ivar": jnp.zeros((S, 3, Hz), f32),
             "gate_state": jnp.zeros((S, 3, Hz, C), f32),
@@ -178,9 +167,7 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
     # metrics: cumulative cross-entropy (bits) + per-column analysis EMA
     # (reference: Predictor::UpdateEntropy alpha=1e-5, predictor.cpp:439-469);
     # columns = predictions + L0/L1 mixer outputs + final (core.meta.analysis_names)
-    n_cols = (
-        meta.n_pred + meta.mix_layers[0].n + meta.mix_layers[1].n + 1
-    )
+    n_cols = meta.n_pred + meta.mix_n0 + meta.mix_n1 + 1
     metrics = {
         "ent": jnp.zeros((S,), f32),
         "ema": jnp.full((S, n_cols), 1.0, f32),

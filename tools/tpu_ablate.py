@@ -82,13 +82,12 @@ def run(name, streams, chunk=256):
     code_buf = jnp.zeros((streams, chunk * 40 + 4096), jnp.uint8)
     fn = pred.chunk_fn(chunk)
     dec = jnp.asarray(False)
-    lrn = jnp.asarray(1.0, jnp.float32)
     t0 = time.time()
-    state, data_buf, code_buf = fn(pred.state, data_buf, code_buf, jnp.int32(0), dec, lrn)
+    state, data_buf, code_buf = fn(pred.state, data_buf, code_buf, jnp.int32(0), dec)
     jax.block_until_ready(state["metrics"]["ent"])
     compile_s = time.time() - t0
     t0 = time.time()
-    state, data_buf, code_buf = fn(state, data_buf, code_buf, jnp.int32(chunk), dec, lrn)
+    state, data_buf, code_buf = fn(state, data_buf, code_buf, jnp.int32(chunk), dec)
     jax.block_until_ready(state["metrics"]["ent"])
     dt = time.time() - t0
     print(f"{name:12s} S={streams:4d} compile={compile_s:6.1f}s "
