@@ -6,98 +6,189 @@ Baseline = the reference gmix binary (single CPU core, measured locally and
 recorded in data/baseline_measured.json by tools/measure_reference.py; the
 upstream publishes no numbers - BASELINE.md).
 
+Robustness (round-2, after round 1 recorded an OOM instead of a number):
+- exactly ONE model state is live at any time (round 1 held three);
+- the (profile, streams) config is auto-sized to the device memory budget
+  with an analytic state-size estimate, then walked down a fallback ladder
+  on RESOURCE_EXHAUSTED or transient device/compile faults (the axon tunnel
+  intermittently fails large fresh compiles);
+- the scan chunk is a multiple of the LSTM horizon (100) so the fast
+  deferred-BPTT path is used (4096 silently fell back to the slow cond path).
+
+Also records compression-parity data (bpb vs the measured reference) into
+data/parity.json for the corpus run.
+
 Environment knobs:
-  GMIX_BENCH_BYTES    corpus size        (default 1048576)
-  GMIX_BENCH_STREAMS  parallel streams   (default 16)
-  GMIX_BENCH_CHUNK    scan chunk bytes   (default 4096)
-  GMIX_BENCH_PROFILE  ensemble profile   (default scaled-14)
+  GMIX_BENCH_BYTES    corpus size          (default 1048576)
+  GMIX_BENCH_CHUNK    scan chunk bytes     (default 4000)
+  GMIX_BENCH_PROFILE  "scaled-<B>x<S>" ladder override, e.g. "scaled-14x16"
+  GMIX_HBM_BUDGET     usable device bytes  (default 11 GiB of the 16 GiB v5e)
 """
 import json
 import os
 import sys
 import time
 
+# (profile_bits, streams) ladder, best quality/throughput first
+LADDER = [(14, 16), (13, 16), (12, 16), (12, 8), (10, 8), (10, 4), (8, 2)]
+
 
 def _corpus(n: int) -> bytes:
     path = os.path.join(os.path.dirname(__file__), "data", "corpus_1m.bin")
-    if os.path.exists(path):
-        data = open(path, "rb").read()
-    else:
-        # deterministic fallback: the reference's own text assets
-        data = open("/root/reference/dictionary/english.dic", "rb").read()
-        data += open("/root/reference/article_order/enwik9_article_order", "rb").read()
+    data = open(path, "rb").read()
     while len(data) < n:
         data += data
     return data[:n]
 
 
-def main():
-    n = int(os.environ.get("GMIX_BENCH_BYTES", 1 << 20))
-    streams = int(os.environ.get("GMIX_BENCH_STREAMS", 16))
-    chunk = int(os.environ.get("GMIX_BENCH_CHUNK", 4096))
-    profile = os.environ.get("GMIX_BENCH_PROFILE", "scaled-14")
+def _state_bytes(spec, S: int) -> int:
+    from gmix_tpu.core.meta import build_meta
+    from gmix_tpu.state import init_state, state_bytes
 
     import jax
 
-    from gmix_tpu.config import reference_spec, scale_tables, tiny_spec
+    meta = build_meta(spec)
+    shaped = jax.eval_shape(lambda: init_state(meta, S))
+    return sum(
+        x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(shaped)
+    )
+
+
+def _spec_for(bits: int):
+    from gmix_tpu.config import reference_spec, scale_tables
+
+    return scale_tables(reference_spec(), bits, history_bits=min(24, bits + 4))
+
+
+def _run_once(spec, S: int, chunk: int, data: bytes):
+    """One full encode+decode cycle; at most one state live at a time.
+    Returns (mbps, bpb, model_bpb, exact, t_enc, t_dec, blob_len)."""
+    import jax
+    import jax.numpy as jnp
+
     from gmix_tpu.core.codec import (
         Predictor,
+        _WORST_PER_BYTE,
         compress_bytes,
         decompress_bytes,
         entropy_bits,
     )
+    from gmix_tpu.core.step import get_chunk_fn
 
-    if profile == "ref":
-        spec = reference_spec()
-    elif profile == "tiny":
-        spec = tiny_spec(True)
-    else:
-        bits = int(profile.split("-")[1])
-        spec = scale_tables(reference_spec(), bits, history_bits=min(24, bits + 4))
+    n = len(data)
+    per = -(-(-(-n // S)) // chunk) * chunk  # ceil(n/S) up to a chunk multiple
+    per = max(per, chunk)
+    cap = int(per + per // 2 + _WORST_PER_BYTE * chunk + 4096)
 
-    data = _corpus(n)
-    dev = jax.devices()[0]
-    sys.stderr.write(f"bench: {n} bytes, {streams} streams, chunk {chunk}, "
-                     f"profile {profile}, device {dev}\n")
+    # warm-up: compile the exact program shape on one chunk of zeros
+    from gmix_tpu.core.meta import build_meta
+    from gmix_tpu.state import init_state
 
-    # warm-up/compile on a small slice so timed runs measure steady state
-    warm = data[: streams * chunk]
-    pred_w = Predictor(spec, streams)
-    compress_bytes(warm, spec, streams, chunk, pred=pred_w)
+    meta = build_meta(spec)
+    fn = get_chunk_fn(spec, chunk)
+    st = init_state(meta, S)
+    db = jnp.zeros((S, per), jnp.uint8)
+    cb = jnp.zeros((S, cap), jnp.uint8)
+    st, db, cb = fn(st, db, cb, jnp.int32(0), jnp.asarray(False))
+    jax.block_until_ready(st["metrics"]["ent"])
+    del st, db, cb
 
-    pred_e = Predictor(spec, streams)
+    pred = Predictor(spec, S)
     t0 = time.time()
-    blob = compress_bytes(data, spec, streams, chunk, pred=pred_e)
-    jax.block_until_ready(pred_e.state["metrics"]["ent"])
+    blob = compress_bytes(data, spec, S, chunk, pred=pred)
     t_enc = time.time() - t0
+    ent = entropy_bits(pred) / n
+    del pred
 
-    pred_d = Predictor(spec, streams)
+    pred = Predictor(spec, S)
     t0 = time.time()
-    out = decompress_bytes(blob, spec, chunk, pred=pred_d)
+    out = decompress_bytes(blob, spec, chunk, pred=pred)
     t_dec = time.time() - t0
+    del pred
 
     exact = out == data
-    ent = entropy_bits(pred_e) / len(data)
-    mbps = 2 * len(data) / (t_enc + t_dec) / 1e6
+    mbps = 2 * n / (t_enc + t_dec) / 1e6
+    return mbps, 8 * len(blob) / n, ent, exact, t_enc, t_dec, len(blob)
 
+
+def main():
+    n = int(os.environ.get("GMIX_BENCH_BYTES", 1 << 20))
+    chunk = int(os.environ.get("GMIX_BENCH_CHUNK", 4000))
+    budget = int(os.environ.get("GMIX_HBM_BUDGET", 11 * 2**30))
+    data = _corpus(n)
+
+    import jax
+
+    dev = jax.devices()[0]
+    sys.stderr.write(f"bench: {n} bytes, chunk {chunk}, device {dev}\n")
+
+    ladder = list(LADDER)
+    prof = os.environ.get("GMIX_BENCH_PROFILE")
+    if prof:  # e.g. "scaled-14x16": pin the ladder head
+        bits, streams = prof.replace("scaled-", "").split("x")
+        ladder.insert(0, (int(bits), int(streams)))
+
+    result = None
+    for bits, S in ladder:
+        spec = _spec_for(bits)
+        est = _state_bytes(spec, S)
+        if est > budget:
+            sys.stderr.write(
+                f"bench: skip scaled-{bits}x{S} (state {est/2**30:.1f} GiB > budget)\n"
+            )
+            continue
+        for attempt in range(2):
+            try:
+                sys.stderr.write(
+                    f"bench: trying scaled-{bits}x{S} "
+                    f"(state {est/2**30:.2f} GiB, attempt {attempt + 1})\n"
+                )
+                result = _run_once(spec, S, chunk, data)
+                break
+            except Exception as e:  # OOM or transient tunnel/compile fault
+                sys.stderr.write(f"bench: scaled-{bits}x{S} failed: {type(e).__name__}: {e}\n")
+                result = None
+        if result is not None:
+            break
+    if result is None:
+        print(json.dumps({"metric": "corpus encode+decode MB/s (ALL CONFIGS FAILED)",
+                          "value": 0.0, "unit": "MB/s", "vs_baseline": 0.0}))
+        return 1
+
+    mbps, bpb, model_bpb, exact, t_enc, t_dec, blob_len = result
     base_path = os.path.join(os.path.dirname(__file__), "data", "baseline_measured.json")
     vs = 0.0
+    ref_bpb = None
     if os.path.exists(base_path):
         base = json.load(open(base_path))
         ref_mbps = base.get("ref_encdec_mbps", 0.0)
+        ref_bpb = base.get("ref_1m", {}).get("bpb")
         if ref_mbps > 0:
             vs = mbps / ref_mbps
 
     sys.stderr.write(
-        f"bench: {len(data)} -> {len(blob)} bytes ({8*len(blob)/len(data):.4f} bpb, "
-        f"model {ent:.4f} bpb), enc {t_enc:.1f}s dec {t_dec:.1f}s, exact={exact}\n"
+        f"bench: {n} -> {blob_len} bytes ({bpb:.4f} bpb, model {model_bpb:.4f} bpb), "
+        f"enc {t_enc:.1f}s dec {t_dec:.1f}s, exact={exact}\n"
     )
+    parity = {
+        "corpus_bytes": n,
+        "profile": f"scaled-{bits}x{S}",
+        "chunk": chunk,
+        "gmix_tpu_bpb": round(bpb, 4),
+        "gmix_tpu_model_bpb": round(model_bpb, 4),
+        "ref_bpb": ref_bpb,
+        "encdec_mbps": round(mbps, 4),
+        "roundtrip_exact": bool(exact),
+    }
+    with open(os.path.join(os.path.dirname(__file__), "data", "parity.json"), "w") as f:
+        json.dump(parity, f, indent=1)
+
     if not exact:
         print(json.dumps({"metric": "corpus encode+decode MB/s (ROUNDTRIP FAILED)",
                           "value": 0.0, "unit": "MB/s", "vs_baseline": 0.0}))
         return 1
     print(json.dumps({
-        "metric": f"corpus-1M encode+decode MB/s per chip ({profile}, {streams} streams)",
+        "metric": f"corpus-1M encode+decode MB/s per chip (scaled-{bits}, {S} streams)",
         "value": round(mbps, 4),
         "unit": "MB/s",
         "vs_baseline": round(vs, 2),

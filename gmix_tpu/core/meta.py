@@ -36,27 +36,47 @@ class Meta:
     n_pred: int
 
     # indirect models, spec order (src/models/indirect.cpp)
-    # table m spans [ind_offsets[m], ind_offsets[m] + ind_masks[m] + 1) in the
-    # ns half of the state arena; the rm half is the same layout shifted by
-    # ind_total. NOTE: the reference sizes these tables (1<<tb)*256 + 1 to
-    # break modular collision alignment (indirect.cpp:15-19). An odd-sized
-    # table blocks XLA:TPU's vectorized scatter emitter (serialized slab-copy
-    # fallback, ~20x slowdown), so tables stay powers of two; contexts are
-    # murmur-hashed, which supplies the decorrelation the +1 was for.
-    ind_offsets: np.ndarray  # (M,) int32
-    ind_masks: np.ndarray  # (M,) uint32: (1 << (tb+8)) - 1
+    # The state arena is (S, ind_nblocks, 256) uint16 with ns in the low byte
+    # and rm in the high byte; model m owns blocks [ind_blk_offsets[m],
+    # ind_blk_offsets[m] + ind_blk_masks[m] + 1). The reference's index
+    # (ctx*256 + bit_ctx) % table_size becomes block = ctx & (2^tb - 1),
+    # lane = bit_ctx: every indirect context is byte-stable, so the 8 bit
+    # sub-steps of one byte all land in ONE 256-lane block. The step gathers
+    # each model's block once per byte (a contiguous-row gather, vectorized on
+    # TPU), does the per-bit reads/updates as dense one-hot selects in
+    # registers, and scatters the block back once per byte — measured ~10x
+    # cheaper than per-bit element scatters into the flat arena, which XLA:TPU
+    # serializes at ~50ns/element.
+    # NOTE: the reference sizes these tables (1<<tb)*256 + 1 to break modular
+    # collision alignment (indirect.cpp:15-19). Power-of-two tables keep the
+    # block decomposition exact; contexts are murmur-hashed, which supplies
+    # the decorrelation the +1 was for.
+    ind_blk_offsets: np.ndarray  # (M,) int32 block offsets
+    ind_blk_masks: np.ndarray  # (M,) uint32: (1 << tb) - 1
     ind_ctx_slots: np.ndarray  # (M,) int32
     ind_lrs: np.ndarray  # (2M,) float32 [ns lrs | rm lrs]
-    ind_total: int
+    ind_nblocks: int
 
-    # mixers, k-order = L0 spec order, then L1, then final (mixer.cpp)
+    # mixers, k-order = L0 spec order, then L1, then final (mixer.cpp).
+    # Mixers whose gating context only changes at byte boundaries ("stable",
+    # 27 of 33 in the reference wiring) have their weight rows gathered once
+    # per byte, updated in registers across the 8 bit sub-steps, and scattered
+    # back once per byte; only bit-varying-context mixers (bit_ctx, lb_recent,
+    # slb_recent, longest_match) pay a per-bit row gather/scatter. The
+    # per-row steps_ counter (mixer.cpp:8) lives bitcast into spare f32 lane
+    # `mix_step_lane` of each padded weight row, so it rides the same
+    # gather/scatter instead of a separate u32 arena.
     mix_offsets: np.ndarray  # (K,) int32 row offsets into the row arena
     mix_masks: np.ndarray  # (K,) uint32: (1 << tb) - 1
     mix_ctx_slots: np.ndarray  # (K,) int32
     mix_lrs: np.ndarray  # (K,) float32
+    mix_stable_ix: np.ndarray  # (Kst,) int32 k-indices with byte-stable ctx
+    mix_vary_ix: np.ndarray  # (Kv,) int32 k-indices with per-bit ctx
+    mix_perm: np.ndarray  # (K,) int32: concat([stable, vary])[perm] = k-order
     mix_n0: int
     mix_n1: int
     mix_width_pad: int
+    mix_step_lane: int
     mix_total_rows: int
 
     # match models, spec order (src/models/match.cpp)
@@ -138,9 +158,11 @@ def build_meta(spec: EnsembleSpec) -> Meta:
     names = spec.ctx_names()
     slots = {n: i for i, n in enumerate(names)}
 
-    # --- indirect arena (state table = (1<<tb)*256 entries = tb+8 bits) ---
-    ind_offsets, ind_masks, ind_total = _arena([m.table_bits + 8 for m in spec.indirects])
-    assert 2 * ind_total < 2**31, "indirect arena exceeds int32 indexing"
+    # --- indirect block arena (model m owns 2^tb blocks of 256 lanes) ---
+    ind_blk_offsets, ind_blk_masks, ind_nblocks = _arena(
+        [m.table_bits for m in spec.indirects]
+    )
+    assert ind_nblocks * 256 < 2**31, "indirect arena exceeds int32 indexing"
     ind_lrs = np.array([m.lr for m in spec.indirects] * 2, np.float32)
 
     # --- mixer row arena, k-order L0 | L1 | final ---
@@ -148,7 +170,17 @@ def build_meta(spec: EnsembleSpec) -> Meta:
         list(spec.mixers_in_layer(0)) + list(spec.mixers_in_layer(1)) + list(spec.mixers_in_layer(2))
     )
     mix_offsets, mix_masks, mix_total_rows = _arena([m.table_bits for m in mixers])
-    width_pad = _round_up(max(spec.mixer_width(l) for l in range(3)), LANE)
+    # +1 lane reserved for the bitcast steps counter
+    width_pad = _round_up(max(spec.mixer_width(l) for l in range(3)) + 1, LANE)
+    ctx_varies_per_bit = {"bit_ctx", "lb_recent", "slb_recent", "longest_match"}
+    mix_stable_ix = np.array(
+        [k for k, m in enumerate(mixers) if m.ctx not in ctx_varies_per_bit], np.int32
+    )
+    mix_vary_ix = np.array(
+        [k for k, m in enumerate(mixers) if m.ctx in ctx_varies_per_bit], np.int32
+    )
+    concat_order = np.concatenate([mix_stable_ix, mix_vary_ix])
+    mix_perm = np.argsort(concat_order).astype(np.int32)  # concat[perm] = k-order
 
     # --- match arena ---
     match_offsets, match_masks, match_total = _arena([m.table_bits for m in spec.matches])
@@ -199,20 +231,22 @@ def build_meta(spec: EnsembleSpec) -> Meta:
         slots=slots,
         n_ctx=len(names),
         n_pred=spec.num_predictions,
-        ind_offsets=ind_offsets,
-        ind_masks=np.array(
-            [(1 << (m.table_bits + 8)) - 1 for m in spec.indirects], np.uint32
-        ),
+        ind_blk_offsets=ind_blk_offsets,
+        ind_blk_masks=ind_blk_masks,
         ind_ctx_slots=np.array([slots[m.ctx] for m in spec.indirects], np.int32),
         ind_lrs=ind_lrs,
-        ind_total=ind_total,
+        ind_nblocks=ind_nblocks,
         mix_offsets=mix_offsets,
         mix_masks=mix_masks,
         mix_ctx_slots=np.array([slots[m.ctx] for m in mixers], np.int32),
         mix_lrs=np.array([m.lr for m in mixers], np.float32),
+        mix_stable_ix=mix_stable_ix,
+        mix_vary_ix=mix_vary_ix,
+        mix_perm=mix_perm,
         mix_n0=len(spec.mixers_in_layer(0)),
         mix_n1=len(spec.mixers_in_layer(1)),
         mix_width_pad=width_pad,
+        mix_step_lane=width_pad - 1,
         mix_total_rows=mix_total_rows,
         match_offsets=match_offsets,
         match_masks=match_masks,

@@ -200,15 +200,21 @@ def _ppm_predict(stm: Dict, meta: Meta) -> Dict:
     )
 
 
-def _interval_bit_pred(probs, top, bot, mid, new_bit, j: int):
+def _interval_bit_pred(probs, top, bot, mid, new_bit, first):
     """Byte-distribution -> per-bit probability via the narrowing [bot, top]
     interval (lstm-model.cpp:17-48; ModPPMD uses the identical scheme).
-    j is the STATIC bit sub-index; at j==0 the interval was just reset.
-    Returns (masked logit, top, bot, mid)."""
-    if j > 0:
+    `first` (python bool or traced bool) marks bit sub-step 0, where the
+    interval was just reset. Returns (masked logit, top, bot, mid)."""
+    if isinstance(first, bool):
+        if not first:
+            nb = new_bit.astype(I32)
+            bot = jnp.where(nb == 1, mid + 1, bot)
+            top = jnp.where(nb == 1, top, mid)
+    else:
         nb = new_bit.astype(I32)
-        bot = jnp.where(nb == 1, mid + 1, bot)
-        top = jnp.where(nb == 1, top, mid)
+        upd = jnp.logical_not(first)
+        bot = jnp.where(upd & (nb == 1), mid + 1, bot)
+        top = jnp.where(upd & (nb == 0), mid, top)
     mid = bot + (top - bot) // 2
     ar = jnp.arange(256)[None, :]
     num = jnp.sum(jnp.where((ar >= mid[:, None] + 1) & (ar <= top[:, None]), probs, 0.0), axis=1)
@@ -246,10 +252,13 @@ def _lstm_forward(stm: Dict, ltm: Dict, meta: Meta) -> Tuple[Dict, Dict]:
     tanh_c = jnp.tanh(cell)
     hidden = jnp.concatenate([outg * tanh_c, jnp.ones((S, 1), F32)], axis=1)
 
-    # per-epoch output layer (lstm.cpp:91-122); multiply+reduce keeps out_w in
-    # the carry layout (no per-byte layout-conversion copy of a 5 MB tensor)
-    w_e = lw["out_w"][:, e]  # (S, OUT, C+1)
-    logits = jnp.sum(w_e * hidden[:, None, :], axis=2)
+    # per-epoch output layer (lstm.cpp:91-122); out_w is (S, Hz, C+1, OUT)
+    # with OUT minor (lane-friendly) and is sliced with dynamic_slice on the
+    # scalar epoch — batched gather/scatter indexing here forced a full
+    # layout-conversion copy of the (S,Hz,OUT,C+1) array every byte (~127us
+    # at S=16, the single largest op after the block-arena rework)
+    w_e = jax.lax.dynamic_index_in_dim(lw["out_w"], e, 1, keepdims=False)  # (S, C+1, OUT)
+    logits = jnp.sum(w_e * hidden[:, :, None], axis=1)
     maxv = jnp.maximum(jnp.max(logits, axis=1, keepdims=True), F32(0.0))  # lstm.cpp:105-113
     probs = jnp.exp(logits - maxv)
     probs = probs / jnp.sum(probs, axis=1, keepdims=True)
@@ -291,8 +300,9 @@ def _lstm_bptt(lst: Dict, lw: Dict, meta: Meta) -> Tuple[Dict, Dict]:
     def epoch_step(carry, epoch):
         stored, state_err, upd_sym, upd_in, upd_g, upd_b = carry
         out_err = lst["outputs"][:, epoch] - jax.nn.one_hot(in_hist[:, epoch], OUT, dtype=F32)
-        # multiply+reduce over the 256 symbols (see layout note in header)
-        he = jnp.sum(out_err[:, :, None] * lw["out_w"][:, epoch, :, :C], axis=1)
+        # multiply+reduce over the 256 symbols (see layout note in _lstm_forward)
+        w_e = jax.lax.dynamic_index_in_dim(lw["out_w"], epoch, 1, keepdims=False)
+        he = jnp.sum(out_err[:, None, :] * w_e[:, :C, :], axis=2)
         is_last = epoch == (Hz - 1)
         stored = jnp.where(is_last, he, stored + he)
         state_err = jnp.where(is_last, jnp.zeros_like(state_err), state_err)
@@ -378,8 +388,6 @@ def _lstm_perceive(stm: Dict, ltm: Dict, inp: jnp.ndarray, meta: Meta, bptt_mode
     ls = meta.spec.lstm
     lst, lw = stm["lstm"], ltm["lstm"]
     Hz, OUT = ls.horizon, ls.output_size
-    S = inp.shape[0]
-    s_ix = jnp.arange(S)
     e_cur = lst["epoch"]
     last_e = (e_cur - 1) % Hz
     old_input = lst["in_hist"][:, last_e]
@@ -396,11 +404,14 @@ def _lstm_perceive(stm: Dict, ltm: Dict, inp: jnp.ndarray, meta: Meta, bptt_mode
         )
 
     # per-byte output-layer SGD (lstm.cpp:81-88): copies last epoch's weights
-    # into the current slot and applies the step
-    err = lst["outputs"][:, last_e] - jax.nn.one_hot(inp, OUT, dtype=F32)
-    w_last = lw["out_w"][s_ix, last_e]  # (S, OUT, C+1)
-    w_new = w_last - F32(ls.lr) * err[:, :, None] * lst["hidden"][:, None, :]
-    out_w = lw["out_w"].at[s_ix, e_cur].set(w_new)
+    # into the current slot and applies the step (dynamic_slice on the scalar
+    # epoch index; see layout note in _lstm_forward)
+    err = jax.lax.dynamic_index_in_dim(lst["outputs"], last_e, 1, keepdims=False) - (
+        jax.nn.one_hot(inp, OUT, dtype=F32)
+    )
+    w_last = jax.lax.dynamic_index_in_dim(lw["out_w"], last_e, 1, keepdims=False)  # (S, C+1, OUT)
+    w_new = w_last - F32(ls.lr) * lst["hidden"][:, :, None] * err[:, None, :]
+    out_w = jax.lax.dynamic_update_slice_in_dim(lw["out_w"], w_new[:, None], e_cur, axis=1)
     return _set(stm, lstm=lst), _set(ltm, lstm=_set(lw, out_w=out_w))
 
 
@@ -421,11 +432,24 @@ def _tri_solve(Lmat: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 
     L[s, k, i] is mixer k's weight on earlier same-layer mixer i
     (mixer.cpp:60-64); entries with i >= k are ignored.
+
+    A is strictly lower triangular, hence nilpotent (A^n = 0), so
+    (I-A)^{-1} = (I+A)(I+A^2)(I+A^4)... exactly — log2(n) tiny batched
+    matmuls on the MXU. This replaces lax.linalg.triangular_solve, whose
+    per-bit custom-call overhead (~28us for a 24x24 solve) dominated the
+    mixer forward pass.
     """
-    a = -jnp.tril(Lmat, k=-1)
-    return jax.lax.linalg.triangular_solve(
-        a, d[..., None], left_side=True, lower=True, unit_diagonal=True
-    )[..., 0]
+    n = Lmat.shape[-1]
+    if n <= 1:
+        return d
+    A = jnp.tril(Lmat, k=-1)
+    y = d + jnp.einsum("skj,sj->sk", A, d, preferred_element_type=F32)
+    cover = 2  # y now includes A^0..A^(cover-1) d
+    while cover < n:
+        A = jnp.einsum("sij,sjk->sik", A, A, preferred_element_type=F32)
+        y = y + jnp.einsum("skj,sj->sk", A, y, preferred_element_type=F32)
+        cover *= 2
+    return y
 
 
 def _byte_step(
@@ -442,8 +466,21 @@ def _byte_step(
     bptt_mode: str,
     sample_u=None,
     inv_temp=None,
+    bit_scan: bool = False,
 ):
-    """One byte: boundary work, 8 unrolled bit sub-steps, byte-end learn."""
+    """One byte: boundary work, 8 bit sub-steps, byte-end learn.
+
+    All per-bit model state whose gating context is byte-stable (every
+    indirect model, most mixers, the match tables) is gathered ONCE here,
+    updated in registers across the 8 sub-steps via dense one-hot selects,
+    and scattered back once at byte end — contiguous-row traffic instead of
+    per-bit element scatters (see core/meta.py layout notes).
+
+    bit_scan=False statically unrolls the 8 sub-steps (TPU: best runtime);
+    bit_scan=True runs them as a lax.scan over one shared body (CPU/tests:
+    ~8x smaller graph, feasible cold-cache compiles). Both instantiate the
+    SAME sub-step code, so their semantics cannot diverge.
+    """
     spec = meta.spec
     S = stm["bits_seen"].shape[0]
     s_ix = jnp.arange(S)[:, None]
@@ -451,9 +488,12 @@ def _byte_step(
     n0, n1 = meta.mix_n0, meta.mix_n1
     K = n0 + n1 + 1
     WP = meta.mix_width_pad
+    SL = meta.mix_step_lane
     nskip = len(spec.skip_connection_cols)
     ns_next = jnp.asarray(_NS_NEXT)
     rm_next = jnp.asarray(_RM_NEXT)
+    lane_u = jnp.arange(256, dtype=U32)[None, None, :]
+    lane_i = jnp.arange(256, dtype=I32)[None, None, :]
 
     # ---- byte boundary: contexts, PPM, LSTM forward ----
     stm, ltm = _boundary(stm, ltm, t, meta)
@@ -475,15 +515,69 @@ def _byte_step(
         mbyte = jnp.where((stm["hist_n"] > 0)[:, None], hb.astype(U32), stm["match_byte"])
         stm = _set(stm, match_ptr=mptr, match_byte=mbyte, match_len=mlen)
 
-    # ---- 8 bit sub-steps ----
-    for j in range(8):
+    # ---- gather the per-byte working sets (byte-stable gating contexts) ----
+    ctx_byte = stm["ctx"]
+    # indirect blocks: (ns | rm<<8) pairs, one 256-lane block per model
+    blk_ix = _iar(
+        ctx_byte[:, jnp.asarray(meta.ind_ctx_slots)] & jnp.asarray(meta.ind_blk_masks)[None, :]
+    ) + jnp.asarray(meta.ind_blk_offsets)[None, :]  # (S, M)
+    ind_blk = ltm["ind"]["st"][s_ix, blk_ix]  # (S, M, 256) u16
+    p_tbl = ltm["ind"]["p"]  # (S, 2M, 256)
+    # byte-stable mixer rows
+    stable_ix = jnp.asarray(meta.mix_stable_ix)
+    vary_ix = jnp.asarray(meta.mix_vary_ix)
+    rowix_st = _iar(
+        ctx_byte[:, jnp.asarray(meta.mix_ctx_slots[meta.mix_stable_ix])]
+        & jnp.asarray(meta.mix_masks[meta.mix_stable_ix])[None, :]
+    ) + jnp.asarray(meta.mix_offsets[meta.mix_stable_ix])[None, :]
+    rows_stable = ltm["mix_w"][s_ix, rowix_st]  # (S, Kst, WP)
+    mix_w = ltm["mix_w"]
+    max_steps = ltm["mix_max_steps"]
+    if spec.matches:
+        mt_pred, mt_cnt = ltm["match_pred"], ltm["match_cnt"]
+
+    # ---- 8 bit sub-steps: ONE body, two instantiations ----
+    # j is either a python int (TPU: statically unrolled, j-dependent selects
+    # fold away) or a traced uint32 (CPU/tests: lax.scan over the 8 bits — an
+    # ~8x smaller HLO graph, which is what makes cold-cache CPU compiles of
+    # the full byte step feasible on small hosts).
+    carry = {
+        "stm": stm,
+        "coder": coder,
+        "metrics": metrics,
+        "code_buf": code_buf,
+        "ind_blk": ind_blk,
+        "p_tbl": p_tbl,
+        "rows_stable": rows_stable,
+        "mix_w": mix_w,
+        "max_steps": max_steps,
+    }
+    if spec.matches:
+        carry["mt_pred"], carry["mt_cnt"] = mt_pred, mt_cnt
+
+    def sub_step(carry, j):
+        static_j = isinstance(j, int)
+        stm, coder, metrics, code_buf = (
+            carry["stm"], carry["coder"], carry["metrics"], carry["code_buf"],
+        )
+        ind_blk, p_tbl, rows_stable = (
+            carry["ind_blk"], carry["p_tbl"], carry["rows_stable"],
+        )
+        mix_w, max_steps = carry["mix_w"], carry["max_steps"]
+        if spec.matches:
+            mt_pred, mt_cnt = carry["mt_pred"], carry["mt_cnt"]
+        j_u = U32(j) if static_j else j.astype(U32)
+
         ctx = stm["ctx"]
         acc = stm["acc"]
         # bits_seen counts every bit except the very first (basic-contexts.cpp:23-28);
         # it doubles as the per-mixer steps_ counter (equal by construction).
-        inc = jnp.where(t == 0, U32(0), U32(1)) if j == 0 else U32(1)
+        if static_j:
+            inc = jnp.where(t == 0, U32(0), U32(1)) if j == 0 else U32(1)
+        else:
+            inc = jnp.where((t == 0) & (j_u == 0), U32(0), U32(1))
         bits_seen = stm["bits_seen"] + inc
-        bit_ctx = (U32(1 << j) + acc) - U32(1)  # recent_bits - 1
+        bit_ctx = ((U32(1) << j_u) + acc) - U32(1)  # recent_bits - 1
         last_byte = stm["last_byte"]
         ctx = ctx.at[:, jnp.asarray(meta.bit_ctx_cols)].set(
             jnp.stack(
@@ -496,40 +590,55 @@ def _byte_step(
             )
         )
 
-        # ---- indirect models: ONE arena gather (indirect.cpp:28-45) ----
-        cvals = ctx[:, jnp.asarray(meta.ind_ctx_slots)]  # (S, M)
-        idx = _iar(((cvals << U32(8)) + bit_ctx[:, None]) & jnp.asarray(meta.ind_masks)[None, :])
-        fi_ns = idx + jnp.asarray(meta.ind_offsets)[None, :]
-        fi = jnp.concatenate([fi_ns, fi_ns + meta.ind_total], axis=1)  # (S, 2M)
-        st_raw = _iar(ltm["ind"]["st"][s_ix, fi])  # (S, 2M): [ns | rm] states
+        # ---- indirect models: dense one-hot reads of the per-byte blocks
+        # (indirect.cpp:28-45); bit_ctx selects the lane within each block.
+        # (These small fused reductions are kernel-overhead-bound, not
+        # traffic-bound — slicing to the static [2^j-1, 2^(j+1)-1) lane range
+        # bit_ctx lives in was measured slower, it just added kernels.) ----
+        eq_lane = lane_u == bit_ctx[:, None, None]  # (S, 1, 256)
+        pair = jnp.sum(
+            jnp.where(eq_lane, ind_blk, jnp.uint16(0)).astype(I32), axis=2
+        )  # (S, M): ns | rm<<8
+        ns_raw, rm_raw = pair & 255, pair >> 8
+        st_raw = jnp.concatenate([ns_raw, rm_raw], axis=1)  # (S, 2M)
         active_ind = jnp.concatenate(
-            [st_raw[:, :M] != 255, st_raw[:, M:] != 0], axis=1
+            [ns_raw != 255, rm_raw != 0], axis=1
         )  # ns: 255 = unseen; rm: 0 = unseen
         # ns state 255 (unseen) predicts/learns/advances from slot 0
-        # (indirect.cpp:49-51); its prediction is masked inactive anyway, so
-        # one gather serves both Predict and Learn.
-        st_eff = jnp.concatenate(
-            [jnp.where(st_raw[:, :M] == 255, 0, st_raw[:, :M]), st_raw[:, M:]], axis=1
-        )
-        p_cur = jnp.take_along_axis(ltm["ind"]["p"], st_eff[:, :, None], axis=2)[..., 0]
+        # (indirect.cpp:49-51); its prediction is masked inactive anyway.
+        st_eff = jnp.concatenate([jnp.where(ns_raw == 255, 0, ns_raw), rm_raw], axis=1)
+        eq_state = lane_i == st_eff[:, :, None]  # (S, 2M, 256)
+        p_cur = jnp.sum(jnp.where(eq_state, p_tbl, F32(0.0)), axis=2)
         ind_preds = jnp.where(active_ind, p_cur, F32(0.0))  # (S, 2M) [ns | rm]
         # interleave to the prediction-column order [ns0, rm0, ns1, rm1, ...]
         ind_pair = jnp.stack([ind_preds[:, :M], ind_preds[:, M:]], axis=2).reshape(S, 2 * M)
 
         # ---- match models (match.cpp:25-74) ----
         if spec.matches:
-            if j > 0:
-                check_mask = U32(int(_CHECK_MASKS[j]))
+            # j == 0's length update ran in the byte-boundary pointer logic
+            if static_j:
+                if j > 0:
+                    check_mask = U32(int(_CHECK_MASKS[j]))
+                    hit = stm["new_bit"][:, None] == (
+                        (stm["match_byte"] & check_mask) != 0
+                    ).astype(U32)
+                    mlen = jnp.where(hit, jnp.minimum(stm["match_len"] + 1, 255), 0)
+                    stm = _set(stm, match_len=mlen)
+                pred_mask = U32(int(_PRED_MASKS[j]))
+            else:
+                check_mask = jnp.take(jnp.asarray(_CHECK_MASKS), _iar(j_u))
                 hit = stm["new_bit"][:, None] == (
                     (stm["match_byte"] & check_mask) != 0
                 ).astype(U32)
                 mlen = jnp.where(hit, jnp.minimum(stm["match_len"] + 1, 255), 0)
+                mlen = jnp.where(j_u > 0, mlen, stm["match_len"])
                 stm = _set(stm, match_len=mlen)
+                pred_mask = jnp.take(jnp.asarray(_PRED_MASKS), _iar(j_u))
             mlen = stm["match_len"]
             mbyte = stm["match_byte"]
-            pred_mask = U32(int(_PRED_MASKS[j]))
             active = mlen > 2
-            mp = jnp.take_along_axis(ltm["match_pred"], mlen[:, :, None], axis=2)[..., 0]
+            eq_len = lane_i == mlen[:, :, None]  # (S, NM, 256)
+            mp = jnp.sum(jnp.where(eq_len, mt_pred, F32(0.0)), axis=2)
             p_prob = jnp.where((mbyte & pred_mask) != 0, mp, F32(1.0) - mp)
             match_preds = jnp.where(active, logit(p_prob), F32(0.0))
             longest = jnp.max((mlen // 32).astype(U32), axis=1)  # match.cpp:71-73
@@ -539,18 +648,19 @@ def _byte_step(
             longest = jnp.zeros((S,), U32)
 
         # ---- PPM + LSTM bit predictions (interval narrowing) ----
+        first = (j == 0) if static_j else (j_u == 0)
         head = []
         if spec.ppm is not None:
             lg, ptop, pbot, pmid = _interval_bit_pred(
                 stm["ppm_probs"], stm["ppm_top"], stm["ppm_bot"], stm["ppm_mid"],
-                stm["new_bit"], j,
+                stm["new_bit"], first,
             )
             head.append(lg[:, None])
             stm = _set(stm, ppm_top=ptop, ppm_bot=pbot, ppm_mid=pmid)
         if spec.lstm is not None:
             lst = stm["lstm"]
             lg, top, bot, mid = _interval_bit_pred(
-                lst["probs"], lst["top"], lst["bot"], lst["mid"], stm["new_bit"], j
+                lst["probs"], lst["top"], lst["bot"], lst["mid"], stm["new_bit"], first
             )
             head.append(lg[:, None])
             stm = _set(stm, lstm=_set(lst, top=top, bot=bot, mid=mid))
@@ -558,20 +668,27 @@ def _byte_step(
         # prediction vector, column order [ppm?, lstm?, ind pairs..., matches...]
         preds = jnp.concatenate(head + [ind_pair, match_preds], axis=1)
 
-        # ---- mixers (mixer.cpp:51-106): one row-arena gather, triangular
-        # solves for the in-layer chains, then the final unit ----
+        # ---- mixers (mixer.cpp:51-106): byte-stable rows from registers,
+        # bit-varying rows gathered per sub-step; nilpotent-doubling solves
+        # for the in-layer chains, then the final unit ----
         stm = _set(stm, ctx=ctx, bits_seen=bits_seen)
         skip_preds = (
             preds[:, jnp.asarray(np.array(spec.skip_connection_cols, np.int32))]
             if nskip
             else jnp.zeros((S, 0), F32)
         )
-        mixcv = ctx[:, jnp.asarray(meta.mix_ctx_slots)]  # (S, K)
-        rowix = _iar(mixcv & jnp.asarray(meta.mix_masks)[None, :]) + jnp.asarray(
-            meta.mix_offsets
-        )[None, :]
-        rows = ltm["mix_w"][s_ix, rowix]  # (S, K, WP)
-        stepv = ltm["mix_steps"][s_ix, rowix]  # (S, K)
+        if len(meta.mix_vary_ix):
+            cv_v = ctx[:, jnp.asarray(meta.mix_ctx_slots[meta.mix_vary_ix])]
+            rowix_v = _iar(
+                cv_v & jnp.asarray(meta.mix_masks[meta.mix_vary_ix])[None, :]
+            ) + jnp.asarray(meta.mix_offsets[meta.mix_vary_ix])[None, :]
+            rows_vary = mix_w[s_ix, rowix_v]  # (S, Kv, WP)
+            rows = jnp.concatenate([rows_stable, rows_vary], axis=1)[
+                :, jnp.asarray(meta.mix_perm)
+            ]  # (S, K, WP) in k-order
+        else:
+            rows = rows_stable
+        stepv = jax.lax.bitcast_convert_type(rows[:, :, SL], U32)  # (S, K)
 
         base0 = jnp.concatenate([preds, jnp.zeros((S, WP - meta.n_pred), F32)], axis=1)
         d0 = jnp.einsum("skw,sw->sk", rows[:, :n0], base0, preferred_element_type=F32)
@@ -592,11 +709,14 @@ def _byte_step(
 
         # ---- arithmetic coder (encoder.cpp:10-25 / decoder.cpp:19-39) ----
         if sample_u is None:
-            enc_bit = (data_byte >> U32(7 - j)) & U32(1)
+            enc_bit = (data_byte >> (U32(7) - j_u)) & U32(1)
         else:
             # temperature sampling (runner-utils.cpp:202-206)
             p_temp = logistic(logit(prob) * inv_temp)
-            enc_bit = (sample_u[j] < p_temp).astype(U32)
+            u_j = sample_u[j] if static_j else (
+                jax.lax.dynamic_index_in_dim(sample_u, _iar(j_u), 0, keepdims=False)
+            )
+            enc_bit = (u_j < p_temp).astype(U32)
         rpos = coder["rpos"]
         look_ix = _iar(rpos[:, None] + U32(np.arange(4))[None, :])
         in_bytes = code_buf[s_ix, jnp.minimum(look_ix, code_buf.shape[1] - 1)].astype(U32)
@@ -638,43 +758,35 @@ def _byte_step(
         cur_byte = (acc << U32(1)) | bit  # completed byte value at j == 7
 
         if learn:
-            # indirect Learn (indirect.cpp:47-70): one p + one state scatter
-            p_new = p_cur + (bitf[:, None] - logistic(p_cur)) * jnp.asarray(meta.ind_lrs)[None, :]
-            p_tbl = ltm["ind"]["p"].at[s_ix, jnp.arange(2 * M)[None, :], st_eff].set(
-                p_new, unique_indices=True
-            )
+            # indirect Learn (indirect.cpp:47-70): dense one-hot updates of
+            # the in-register block + the (small) shared state->logit table
+            delta = (bitf[:, None] - logistic(p_cur)) * jnp.asarray(meta.ind_lrs)[None, :]
+            p_tbl = p_tbl + jnp.where(eq_state, delta[:, :, None], F32(0.0))
             # state advance: ns half via the nonstationary table, rm half via
             # the run-map table (256x2 -> flattened 512-entry next tables)
             new_ns = jnp.take(ns_next, st_eff[:, :M] * 2 + _iar(bit)[:, None])
             new_rm = jnp.take(rm_next, st_eff[:, M:] * 2 + _iar(bit)[:, None])
-            new_st = jnp.concatenate([new_ns, new_rm], axis=1).astype(jnp.uint8)
-            st_tbl = ltm["ind"]["st"].at[s_ix, fi].set(new_st, unique_indices=True)
-            ltm = _set(ltm, ind={"st": st_tbl, "p": p_tbl})
+            new_pair = (new_ns | (new_rm << 8)).astype(jnp.uint16)  # (S, M)
+            ind_blk = jnp.where(eq_lane, new_pair[:, :, None], ind_blk)
 
             # match per-bit Learn (match.cpp:79-90)
             if spec.matches:
-                NM = len(spec.matches)
-                m_ix = jnp.arange(NM)[None, :]
                 hit2 = (bit[:, None] == ((mbyte & pred_mask) != 0).astype(U32)).astype(F32)
-                cnt = jnp.take_along_axis(ltm["match_cnt"], mlen[:, :, None], axis=2)[..., 0]
+                cnt = jnp.sum(jnp.where(eq_len, mt_cnt, 0), axis=2)
                 limits = jnp.asarray(meta.match_limits)[None, :]
                 grow = cnt < limits
                 cnt_new = jnp.where(grow, cnt + 1, cnt)
                 lr = F32(1.0) / jnp.where(grow, cnt_new, limits).astype(F32)
                 mp_new = mp + (hit2 - mp) * lr
                 upd_on = mlen > 2  # only matched rows learn (match.cpp:79)
-                match_pred = ltm["match_pred"].at[s_ix, m_ix, mlen].set(
-                    jnp.where(upd_on, mp_new, mp), unique_indices=True
-                )
-                match_cnt = ltm["match_cnt"].at[s_ix, m_ix, mlen].set(
-                    jnp.where(upd_on, cnt_new, cnt), unique_indices=True
-                )
-                ltm = _set(ltm, match_pred=match_pred, match_cnt=match_cnt)
+                upd_mask = eq_len & upd_on[:, :, None]
+                mt_pred = jnp.where(upd_mask, mp_new[:, :, None], mt_pred)
+                mt_cnt = jnp.where(upd_mask, cnt_new[:, :, None], mt_cnt)
 
-            # mixer Learn (mixer.cpp:108-176): one w + one steps scatter
+            # mixer Learn (mixer.cpp:108-176): in-register row updates;
+            # only the bit-varying rows scatter per sub-step
             steps_f = bits_seen.astype(F32)
             decay_global = F32(0.9) / jnp.power(F32(1e-7) * steps_f + F32(0.8), F32(0.8))
-            max_steps = ltm["mix_max_steps"]
             y_all = jnp.concatenate([y0, y1, final_logit[:, None]], axis=1)  # (S, K)
             novelty = F32(1.5) - stepv.astype(F32) / max_steps.astype(F32)
             upd = (
@@ -689,21 +801,76 @@ def _byte_step(
             in1 = jnp.broadcast_to(base1[:, None, :], (S, n1, WP))
             in1 = in1.at[:, :, n0 : n0 + n1].set(y1[:, None, :] * tril1[None])
             inputs = jnp.concatenate([in0, in1, base2[:, None, :]], axis=1)  # (S, K, WP)
+            # inputs is 0 in the steps lane, so the SGD step preserves it;
+            # the weight-decay multiply does not, so the lane is rewritten
+            # with the incremented bitcast counter afterwards.
             w_new = rows - upd[:, :, None] * inputs
             steps_new = stepv + U32(1)
             wd = (steps_new & U32(1023)) == 0  # weight decay every 1024 context-steps
             w_new = w_new * jnp.where(wd, F32(1.0) - F32(3e-6), F32(1.0))[:, :, None]
-            mix_w = ltm["mix_w"].at[s_ix, rowix].set(w_new, unique_indices=True)
-            mix_steps = ltm["mix_steps"].at[s_ix, rowix].set(steps_new, unique_indices=True)
+            w_new = w_new.at[:, :, SL].set(jax.lax.bitcast_convert_type(steps_new, F32))
+            rows_stable = w_new[:, stable_ix]  # carried to the next sub-step
+            if len(meta.mix_vary_ix):
+                mix_w = mix_w.at[s_ix, rowix_v].set(
+                    w_new[:, vary_ix], unique_indices=True
+                )
             max_steps = jnp.maximum(max_steps, steps_new)
-            ltm = _set(ltm, mix_w=mix_w, mix_steps=mix_steps, mix_max_steps=max_steps)
 
         # advance bit registers
         stm = _set(stm, new_bit=bit, acc=(acc << U32(1)) | bit)
 
-    # ---- byte end: history append, match pointer write, LSTM perceive ----
-    # (cur_byte from the j == 7 iteration is the completed byte)
+        out = {
+            "stm": stm,
+            "coder": coder,
+            "metrics": metrics,
+            "code_buf": code_buf,
+            "ind_blk": ind_blk,
+            "p_tbl": p_tbl,
+            "rows_stable": rows_stable,
+            "mix_w": mix_w,
+            "max_steps": max_steps,
+        }
+        if spec.matches:
+            out["mt_pred"], out["mt_cnt"] = mt_pred, mt_cnt
+        return out
+
+    if bit_scan:
+        carry, _ = jax.lax.scan(
+            lambda c, jj: (sub_step(c, jj), None),
+            carry,
+            jnp.arange(8, dtype=U32),
+        )
+    else:
+        for j in range(8):
+            carry = sub_step(carry, j)
+    stm, coder, metrics, code_buf = (
+        carry["stm"], carry["coder"], carry["metrics"], carry["code_buf"],
+    )
+    ind_blk, p_tbl, rows_stable = carry["ind_blk"], carry["p_tbl"], carry["rows_stable"]
+    mix_w, max_steps = carry["mix_w"], carry["max_steps"]
+    if spec.matches:
+        mt_pred, mt_cnt = carry["mt_pred"], carry["mt_cnt"]
+    cur_byte = stm["acc"]  # all 8 bits accumulated = the completed byte
+    longest = (
+        stm["ctx"][:, meta.slots["longest_match"]]
+        if spec.matches
+        else jnp.zeros((S,), U32)
+    )
+
+    # ---- byte end: scatter the per-byte working sets back, history append,
+    # match pointer write, LSTM perceive ----
     if learn:
+        ltm = _set(
+            ltm,
+            ind={
+                "st": ltm["ind"]["st"].at[s_ix, blk_ix].set(ind_blk, unique_indices=True),
+                "p": p_tbl,
+            },
+            mix_w=mix_w.at[s_ix, rowix_st].set(rows_stable, unique_indices=True),
+            mix_max_steps=max_steps,
+        )
+        if spec.matches:
+            ltm = _set(ltm, match_pred=mt_pred, match_cnt=mt_cnt)
         hist_n = stm["hist_n"]
         append = longest < 2
         hpos = jnp.where(append, hist_n & U32(meta.history_size - 1), U32(meta.history_size))
@@ -740,7 +907,7 @@ def _byte_step(
 # ---------------------------------------------------------------------------
 
 
-def make_chunk_fn(meta: Meta, chunk: int, learn: bool = True):
+def make_chunk_fn(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool = False):
     """Build the jitted chunk processor.
 
     fn(state, data_buf, code_buf, t0, decode) -> (state, data_buf, code_buf)
@@ -762,7 +929,7 @@ def make_chunk_fn(meta: Meta, chunk: int, learn: bool = True):
         )
         stm, ltm, coder, metrics, data_buf, code_buf = _byte_step(
             stm, ltm, coder, metrics, data_buf, code_buf, t, decode,
-            meta, learn, bptt_mode,
+            meta, learn, bptt_mode, bit_scan=bit_scan,
         )
         return (
             {"stm": stm, "ltm": ltm, "coder": coder, "metrics": metrics},
@@ -802,7 +969,7 @@ def make_chunk_fn(meta: Meta, chunk: int, learn: bool = True):
     return jax.jit(chunk_fn, donate_argnums=(0, 1, 2))
 
 
-def make_gen_chunk_fn(meta: Meta, chunk: int):
+def make_gen_chunk_fn(meta: Meta, chunk: int, bit_scan: bool = False):
     """Jitted generation chunk: temperature sampling with NO learn code in
     the program at all (runner-utils.cpp:196-215).
     fn(state, data_buf, t0, u, inv_temp) -> (state, data_buf);
@@ -817,7 +984,7 @@ def make_gen_chunk_fn(meta: Meta, chunk: int):
         stm, ltm, coder, metrics, data_buf, code_buf = _byte_step(
             stm, ltm, coder, metrics, data_buf, code_buf, t,
             jnp.asarray(False), meta, False, "cond",
-            sample_u=u, inv_temp=inv_temp,
+            sample_u=u, inv_temp=inv_temp, bit_scan=bit_scan,
         )
         return (
             {"stm": stm, "ltm": ltm, "coder": coder, "metrics": metrics},
@@ -838,16 +1005,22 @@ def make_gen_chunk_fn(meta: Meta, chunk: int):
     return jax.jit(gen_fn, donate_argnums=(0, 1))
 
 
+def default_bit_scan() -> bool:
+    """Unrolled sub-steps on TPU (best runtime); scanned sub-steps elsewhere
+    (the ~8x smaller graph keeps cold-cache CPU compiles tractable)."""
+    return jax.default_backend() != "tpu"
+
+
 @functools.lru_cache(maxsize=64)
 def get_chunk_fn(spec: EnsembleSpec, chunk: int, learn: bool = True):
     """Process-wide compile cache: one jitted chunk program per (spec, chunk)."""
     from .meta import build_meta
 
-    return make_chunk_fn(build_meta(spec), chunk, learn)
+    return make_chunk_fn(build_meta(spec), chunk, learn, bit_scan=default_bit_scan())
 
 
 @functools.lru_cache(maxsize=16)
 def get_gen_chunk_fn(spec: EnsembleSpec, chunk: int):
     from .meta import build_meta
 
-    return make_gen_chunk_fn(build_meta(spec), chunk)
+    return make_gen_chunk_fn(build_meta(spec), chunk, bit_scan=default_bit_scan())

@@ -53,24 +53,20 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
 
     ltm: Dict = {}
 
-    # --- indirect models: ONE flat u8 state arena [ns half | rm half] (ns
-    # init 255 = never seen, rm init 0; long-term-memory.h:11-16) and the
-    # shared 256-entry state->logit tables (rows [ns models | rm models]).
-    # Power-of-two per-model tables keep XLA:TPU's vectorized scatter emitter
-    # engaged (see core/meta.py note).
+    # --- indirect models: ONE block arena of (ns | rm<<8) uint16 pairs (ns
+    # init 255 = never seen, rm init 0 -> word 0x00FF; long-term-memory.h:11-16)
+    # and the shared 256-entry state->logit tables (rows [ns models | rm
+    # models]). Block layout rationale in core/meta.py.
     M = len(spec.indirects)
     ltm["ind"] = {
-        "st": jnp.concatenate(
-            [jnp.full((S, meta.ind_total), 255, u8), jnp.zeros((S, meta.ind_total), u8)],
-            axis=1,
-        ),
+        "st": jnp.full((S, meta.ind_nblocks, 256), 255, jnp.uint16),
         "p": jnp.zeros((S, 2 * M, 256), f32),
     }
 
-    # --- mixers: one flat row arena across all layers ---
+    # --- mixers: one flat row arena across all layers; per-row steps counter
+    # bitcast into lane meta.mix_step_lane (zero-init f32 == zero-init u32) ---
     K = meta.mix_n0 + meta.mix_n1 + 1
     ltm["mix_w"] = jnp.zeros((S, meta.mix_total_rows, meta.mix_width_pad), f32)
-    ltm["mix_steps"] = jnp.zeros((S, meta.mix_total_rows), u32)
     ltm["mix_max_steps"] = jnp.ones((S, K), u32)  # mixer.cpp:8
 
     # --- match models ---
@@ -129,7 +125,8 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
             "gamma_v": jnp.zeros((S, 3, C), f32),
             "beta_m": jnp.zeros((S, 3, C), f32),
             "beta_v": jnp.zeros((S, 3, C), f32),
-            "out_w": jnp.zeros((S, Hz, OUT, C + 1), f32),
+            # (S, Hz, C+1, OUT): OUT minor for lane-friendly forward/update
+            "out_w": jnp.zeros((S, Hz, C + 1, OUT), f32),
         }
         hidden = jnp.zeros((S, C + 1), f32).at[:, C].set(1.0)  # bias lane (lstm.cpp:31)
         layer_input = jnp.zeros((S, Hz, LI), f32).at[:, :, LI - 1].set(1.0)
