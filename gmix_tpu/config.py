@@ -285,9 +285,9 @@ def scale_tables(spec: EnsembleSpec, max_bits: int, history_bits: Optional[int] 
 
 def reference_spec() -> EnsembleSpec:
     """The full reference ensemble wiring (src/predictor.cpp:17-358):
-    41 indirect models (82 predictions), 6 match models, LSTM, 24+8+1 mixers.
-    PPM is a separate flag (round-1: disabled; ppm_probs stays uniform, which
-    only changes the LSTM aux input from the reference, not the architecture).
+    41 indirect models (82 predictions), 6 match models, LSTM, 24+8+1 mixers,
+    and the device-native PPM byte model (whose distribution also feeds the
+    LSTM aux input, mirroring lstm-model.cpp:21).
     """
     skips = (
         # consecutive-byte hashes (predictor.cpp:84-107)

@@ -55,15 +55,48 @@ class Predictor:
         self.num_streams = num_streams
         self.seed = seed
         self.sharding = sharding
+        self._fn_cache: Dict = {}
         self.state = init_state(self.meta, num_streams, seed)
         if sharding is not None:
-            self.state = jax.device_put(self.state, sharding)
+            self.state = self._place(self.state)
+
+    def _place(self, state):
+        from ..parallel.mesh import shard_state
+
+        return shard_state(state, self.sharding.mesh, self._axis())
+
+    def _axis(self) -> str:
+        return self.sharding.spec[0]
 
     def chunk_fn(self, n: int, learn: bool = True):
-        return get_chunk_fn(self.spec, n, learn)
+        if self.sharding is None:
+            return get_chunk_fn(self.spec, n, learn)
+        # sharded execution must go through shard_map (see
+        # parallel.mesh.make_sharded_chunk_fn for why plain jit is wrong)
+        key = ("chunk", n, learn)
+        if key not in self._fn_cache:
+            from ..parallel.mesh import make_sharded_chunk_fn
+            from .step import default_bit_scan
+
+            self._fn_cache[key] = make_sharded_chunk_fn(
+                self.meta, n, self.sharding.mesh, self.num_streams,
+                learn, default_bit_scan(), self._axis(),
+            )
+        return self._fn_cache[key]
 
     def gen_fn(self, n: int):
-        return get_gen_chunk_fn(self.spec, n)
+        if self.sharding is None:
+            return get_gen_chunk_fn(self.spec, n)
+        key = ("gen", n)
+        if key not in self._fn_cache:
+            from ..parallel.mesh import make_sharded_gen_fn
+            from .step import default_bit_scan
+
+            self._fn_cache[key] = make_sharded_gen_fn(
+                self.meta, n, self.sharding.mesh, self.num_streams,
+                default_bit_scan(), self._axis(),
+            )
+        return self._fn_cache[key]
 
     # --- checkpoint / copy (contract: tester.cpp invariants 2-3) ---
     def save(self, path: str) -> None:
@@ -79,12 +112,14 @@ class Predictor:
             assert a.shape == b.shape and a.dtype == b.dtype, (
                 f"checkpoint mismatch: {a.shape}/{a.dtype} vs {b.shape}/{b.dtype}"
             )
-        self.state = jax.device_put(loaded, self.sharding) if self.sharding else jax.tree_util.tree_map(jnp.asarray, loaded)
+        loaded = jax.tree_util.tree_map(jnp.asarray, loaded)
+        self.state = self._place(loaded) if self.sharding else loaded
 
     def copy(self) -> "Predictor":
         p = object.__new__(Predictor)
         p.spec, p.meta, p.num_streams, p.seed = self.spec, self.meta, self.num_streams, self.seed
         p.sharding = self.sharding
+        p._fn_cache = self._fn_cache
         p.state = copy_state(self.state)
         return p
 
@@ -125,24 +160,23 @@ def run_chunks(
     device across chunks; returns (data_buf, code_buf)."""
     assert n_bytes % chunk == 0, "n_bytes must be a chunk multiple"
     fn = pred.chunk_fn(chunk, learn=learn)
-    cap = code_buf.shape[1]
     dec = jnp.asarray(bool(decode))
-    for i, t in enumerate(range(t0, t0 + n_bytes, chunk)):
+    for t in range(t0, t0 + n_bytes, chunk):
         pred.state, data_buf, code_buf = fn(
             pred.state, data_buf, code_buf, jnp.int32(t), dec
         )
-        # overflow guard: a host sync per chunk would stall the device
-        # pipeline through the TPU tunnel, so only sample occasionally
-        # (cap is sized for the worst case; this is a belt-and-braces check)
-        if not decode and (i & 15) == 15:
-            wpos = int(jax.device_get(jnp.max(pred.state["coder"]["wpos"])))
-            if wpos + _WORST_PER_BYTE * chunk > cap and t + chunk < t0 + n_bytes:
-                raise RuntimeError(
-                    f"code buffer too small (wpos={wpos}, cap={cap}); "
-                    "increase the capacity factor"
-                )
         if progress is not None:
             progress(t + chunk)
+    # encoder overflow is EXACT and sticky (coder["ovf"], set in the step when
+    # a renorm byte would land past capacity); checking it here costs one
+    # device_get after the whole run instead of a pipeline stall per chunk
+    if not decode:
+        ovf = np.asarray(jax.device_get(pred.state["coder"]["ovf"]))
+        if ovf.any():
+            raise RuntimeError(
+                f"code buffer overflow on streams {np.nonzero(ovf)[0].tolist()} "
+                f"(capacity {code_buf.shape[1]}); increase the capacity factor"
+            )
     return data_buf, code_buf
 
 

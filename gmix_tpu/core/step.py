@@ -4,13 +4,19 @@ stream-batched TPU program.
 
 Key design properties (SURVEY.md 7):
 
-- Scan is over BYTES with the 8 bit sub-steps statically unrolled. There is
-  NO lax.cond anywhere in the hot path: an identity cond branch carrying a
-  multi-MB tensor (LSTM weight histories, PPM tables) forces XLA:TPU to emit
-  a physical copy per iteration, which dominated whole-program time in the
-  conditional-boundary formulation (~500 us/bit, memory-bound on copies).
-  Byte-boundary work simply runs first, byte-end work last, and the bit
-  sub-index j is a Python constant inside the unrolled body.
+- Scan is over BYTES; the 8 bit sub-steps are ONE shared body instantiated
+  either statically unrolled (TPU: j-dependent selects fold away, best
+  runtime) or as a lax.scan over bits (CPU/tests: ~8x smaller graph, fast
+  cold compiles). There is NO lax.cond in the per-bit path: an identity cond
+  branch carrying a multi-MB tensor (LSTM weight histories, PPM tables)
+  forces XLA:TPU to emit a physical copy per iteration. Byte-boundary work
+  simply runs first and byte-end work last.
+- All per-bit model state whose gating context is byte-stable (all indirect
+  models, 27 of 33 mixers, the match tables) is gathered once per byte as
+  contiguous rows, updated in registers across the sub-steps with dense
+  one-hot selects, and scattered back once per byte. Per-bit element
+  scatters into the GB-scale arenas serialize at ~50ns/element on TPU and
+  dominated the old step (measured 4.5x whole-step speedup from this).
 - Truncated-BPTT fires when the LSTM epoch counter wraps, i.e. at statically
   known byte positions (every `horizon` bytes). When the scan chunk is a
   multiple of the horizon, the scan nests as [segments x horizon bytes] and
@@ -739,6 +745,14 @@ def _byte_step(
             "x": cst.x,
             "wpos": wpos + jnp.where(decode, U32(0), nrenorm.astype(U32)),
             "rpos": rpos + jnp.where(decode, nrenorm.astype(U32), U32(0)),
+            # sticky: any dropped (out-of-capacity) encoder write sets it
+            "ovf": coder["ovf"]
+            | jnp.where(
+                jnp.logical_not(decode)
+                & (wpos + nrenorm.astype(U32) > U32(code_buf.shape[1])),
+                U32(1),
+                U32(0),
+            ),
         }
 
         # cumulative cross-entropy metric (bits) (runner.cpp:96-101)
@@ -907,8 +921,12 @@ def _byte_step(
 # ---------------------------------------------------------------------------
 
 
-def make_chunk_fn(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool = False):
-    """Build the jitted chunk processor.
+def make_chunk_fn_raw(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool = False):
+    """Build the UNJITTED chunk processor (for shard_map wrapping — see
+    gmix_tpu.parallel.mesh.make_sharded_chunk_fn; XLA's SPMD partitioner
+    silently drops the batched row scatters when the jitted fn is fed
+    stream-sharded arrays directly, so multi-device execution must run the
+    per-shard program on local shapes instead).
 
     fn(state, data_buf, code_buf, t0, decode) -> (state, data_buf, code_buf)
     processes `chunk` bytes starting at byte offset t0. With learning on and
@@ -966,11 +984,18 @@ def make_chunk_fn(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool = F
             carry, _ = jax.lax.scan(byte_scan_step, carry, ts)
             return carry[0], carry[1], carry[2]
 
-    return jax.jit(chunk_fn, donate_argnums=(0, 1, 2))
+    return chunk_fn
 
 
-def make_gen_chunk_fn(meta: Meta, chunk: int, bit_scan: bool = False):
-    """Jitted generation chunk: temperature sampling with NO learn code in
+def make_chunk_fn(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool = False):
+    """Jitted single-host chunk processor (see make_chunk_fn_raw)."""
+    return jax.jit(
+        make_chunk_fn_raw(meta, chunk, learn, bit_scan), donate_argnums=(0, 1, 2)
+    )
+
+
+def make_gen_chunk_fn_raw(meta: Meta, chunk: int, bit_scan: bool = False):
+    """UNJITTED generation chunk: temperature sampling with NO learn code in
     the program at all (runner-utils.cpp:196-215).
     fn(state, data_buf, t0, u, inv_temp) -> (state, data_buf);
     u is (chunk*8, S) uniforms."""
@@ -1002,7 +1027,11 @@ def make_gen_chunk_fn(meta: Meta, chunk: int, bit_scan: bool = False):
         carry, _ = jax.lax.scan(byte_scan_step, carry, (ts, u))
         return carry[0], carry[1]
 
-    return jax.jit(gen_fn, donate_argnums=(0, 1))
+    return gen_fn
+
+
+def make_gen_chunk_fn(meta: Meta, chunk: int, bit_scan: bool = False):
+    return jax.jit(make_gen_chunk_fn_raw(meta, chunk, bit_scan), donate_argnums=(0, 1))
 
 
 def default_bit_scan() -> bool:

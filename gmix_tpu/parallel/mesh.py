@@ -47,6 +47,72 @@ def shard_state(state, mesh: Mesh, axis: str = "streams"):
     return jax.tree_util.tree_map(place, state)
 
 
+def _state_specs(meta, S: int, axis: str):
+    """Per-leaf PartitionSpecs for a codec state pytree: stream-major arrays
+    shard on axis 0, scalar leaves (LSTM epoch counters) replicate."""
+    import jax.numpy as jnp  # noqa: F401  (needed for eval_shape tracing)
+
+    from ..state import init_state
+
+    shaped = jax.eval_shape(lambda: init_state(meta, S))
+    return jax.tree_util.tree_map(
+        lambda x: P(axis) if x.ndim >= 1 and x.shape[0] == S else P(), shaped
+    )
+
+
+def make_sharded_chunk_fn(
+    meta, chunk: int, mesh: Mesh, S: int,
+    learn: bool = True, bit_scan: bool = False, axis: str = "streams",
+):
+    """Data-parallel chunk processor: shard_map of the per-shard program over
+    the stream axis.
+
+    This MUST be shard_map, not plain jit-with-sharded-inputs: feeding the
+    jitted chunk fn stream-sharded arrays makes XLA's SPMD partitioner keep
+    GLOBAL stream indices against LOCAL operand shards in the batched row
+    scatters, whose out-of-bounds writes are silently dropped — mixer/indirect
+    learning never persisted on 7 of 8 shards (caught by
+    tests/test_parallel.py::test_sharded_matches_unsharded once it became a
+    hard assertion). With shard_map each shard runs the unsharded program on
+    its local block, which is also the strongest determinism statement
+    available: identical per-shard programs => identical bytes.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..core.step import make_chunk_fn_raw
+
+    raw = make_chunk_fn_raw(meta, chunk, learn, bit_scan)
+    st_specs = _state_specs(meta, S, axis)
+    fn = shard_map(
+        raw,
+        mesh=mesh,
+        in_specs=(st_specs, P(axis), P(axis), P(), P()),
+        out_specs=(st_specs, P(axis), P(axis)),
+        check_rep=False,
+    )
+    return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+
+def make_sharded_gen_fn(
+    meta, chunk: int, mesh: Mesh, S: int, bit_scan: bool = False, axis: str = "streams"
+):
+    """shard_map'd generation chunk (see make_sharded_chunk_fn)."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..core.step import make_gen_chunk_fn_raw
+
+    raw = make_gen_chunk_fn_raw(meta, chunk, bit_scan)
+    st_specs = _state_specs(meta, S, axis)
+    fn = shard_map(
+        raw,
+        mesh=mesh,
+        in_specs=(st_specs, P(axis), P(), P(None, axis), P()),
+        out_specs=(st_specs, P(axis)),
+        check_rep=False,
+    )
+    return jax.jit(fn, donate_argnums=(0, 1))
+
+
 def broadcast_pretrained(single_stream_state, num_streams: int, mesh: Optional[Mesh] = None):
     """Tile a 1-stream checkpoint's state to S streams (the 'broadcast
     pretrained weights' path for block-parallel compression). Scalar leaves

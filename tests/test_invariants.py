@@ -175,6 +175,7 @@ def test_pretrained_warmstart_improves():
         "x": jnp.zeros((1,), jnp.uint32),
         "wpos": jnp.zeros((1,), jnp.uint32),
         "rpos": jnp.zeros((1,), jnp.uint32),
+        "ovf": jnp.zeros((1,), jnp.uint32),
     }
     warm.state["metrics"] = jax.tree_util.tree_map(
         jnp.zeros_like, warm.state["metrics"]

@@ -45,6 +45,24 @@ def test_roundtrip_empty_and_tiny_inputs():
         assert g.decompress_bytes(blob, spec, chunk=128) == data
 
 
+def test_code_buffer_overflow_raises():
+    """An undersized code buffer must raise, never silently drop output
+    bytes (the coder keeps a sticky per-stream overflow flag checked at the
+    end of the run)."""
+    import jax.numpy as jnp
+
+    from gmix_tpu.core.codec import Predictor, run_chunks
+
+    spec = g.tiny_spec(with_lstm=False)
+    rng = np.random.RandomState(42)
+    data = np.frombuffer(rng.bytes(1024), np.uint8).reshape(1, 1024)
+    pred = Predictor(spec, 1)
+    data_buf = jnp.asarray(data)
+    code_buf = jnp.zeros((1, 64), jnp.uint8)  # ~16x too small for random data
+    with pytest.raises(RuntimeError, match="overflow"):
+        run_chunks(pred, data_buf, code_buf, 1024, decode=False, chunk=128)
+
+
 def test_entropy_reported():
     from gmix_tpu.core.codec import Predictor, compress_bytes, entropy_bits
 
