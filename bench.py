@@ -145,8 +145,21 @@ def main():
                 )
                 result = _run_once(spec, S, chunk, data)
                 break
-            except Exception as e:  # OOM or transient tunnel/compile fault
-                sys.stderr.write(f"bench: scaled-{bits}x{S} failed: {type(e).__name__}: {e}\n")
+            except Exception as e:
+                # Retry/downgrade ONLY capacity or transport faults; a genuine
+                # correctness bug must surface, not be silently retried away.
+                msg = f"{type(e).__name__}: {e}"
+                transient = any(
+                    k in msg
+                    for k in (
+                        "RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
+                        "OOM", "UNAVAILABLE", "DEADLINE_EXCEEDED", "INTERNAL",
+                        "ABORTED", "Socket", "connection", "Connection",
+                    )
+                )
+                if not transient:
+                    raise
+                sys.stderr.write(f"bench: scaled-{bits}x{S} failed: {msg[:500]}\n")
                 result = None
         if result is not None:
             break

@@ -28,7 +28,14 @@ def _spec(args):
         s = tiny_spec(with_lstm=True)
     else:
         # scaled-N: reference wiring with tables clamped to 2^N entries
-        bits = int(args.profile.split("-")[1])
+        import re
+
+        m = re.fullmatch(r"scaled-(\d+)", args.profile)
+        if not m:
+            raise SystemExit(
+                f"unknown profile {args.profile!r}: use 'ref', 'tiny', or 'scaled-<bits>'"
+            )
+        bits = int(m.group(1))
         s = scale_tables(reference_spec(), bits, history_bits=min(24, bits + 4))
     return s
 
@@ -85,7 +92,7 @@ def main(argv=None):
     # dictionary transform (reference: dictionary-prep -e/-d)
     for name in ("dict-encode", "dict-decode"):
         pde = sub.add_parser(name)
-        pde.add_argument("--dictionary", default="/root/reference/dictionary/english.dic")
+        pde.add_argument("--dictionary", default=None)  # None -> vendored asset
         pde.add_argument("input")
         pde.add_argument("output")
 

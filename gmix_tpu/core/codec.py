@@ -225,25 +225,46 @@ def decompress_bytes(
     pred: Optional[Predictor] = None,
     progress=None,
 ) -> bytes:
-    assert blob[:4] == MAGIC, "bad magic"
+    if len(blob) < 40 or blob[:4] != MAGIC:
+        raise ValueError("not a GXTC archive (bad magic or truncated header)")
     ver, _flags, S, orig, per, spec_hash, _rsv = struct.unpack("<BBHQQQQ", blob[4:40])
-    assert ver == VERSION
-    assert spec_hash == spec.stable_hash(), "spec mismatch: wrong profile for this archive"
+    if ver != VERSION:
+        raise ValueError(f"unsupported GXTC container version {ver}")
+    if spec_hash != spec.stable_hash():
+        raise ValueError("spec mismatch: wrong profile for this archive")
     if orig == 0:
         return b""
+    # container sanity: every size/offset must be provable from the blob itself
+    # before any allocation is sized from it (a malformed container must raise,
+    # not drive multi-GB allocations)
+    if S == 0 or per == 0 or per % chunk != 0:
+        raise ValueError(f"malformed GXTC header: streams={S} per={per} chunk={chunk}")
+    if orig > S * per:
+        raise ValueError(f"malformed GXTC header: orig {orig} > streams*per {S * per}")
     off = 40
+    if len(blob) < off + 8 * S:
+        raise ValueError("truncated GXTC size table")
     sizes = struct.unpack(f"<{S}Q", blob[off : off + 8 * S])
     off += 8 * S
+    if sum(sizes) != len(blob) - off:
+        raise ValueError(
+            f"malformed GXTC size table: payloads claim {sum(sizes)} bytes, "
+            f"{len(blob) - off} present"
+        )
     payloads = []
     for sz in sizes:
         payloads.append(blob[off : off + sz])
         off += sz
-    if pred is None:
-        pred = Predictor(spec, S)
     # SAME capacity formula as compress_bytes: encode and decode then share one
     # compiled program shape (the first TPU compile is minutes via the tunnel)
     cap = int(per + per // 2 + _WORST_PER_BYTE * chunk + 4096)
-    assert max(sizes) + 8 <= cap
+    if max(sizes) + 8 > cap:
+        raise ValueError(
+            f"malformed GXTC payload: stream size {max(sizes)} exceeds the "
+            f"coder's worst-case bound {cap - 8} for per={per}"
+        )
+    if pred is None:
+        pred = Predictor(spec, S)
     codes = np.zeros((S, cap), np.uint8)
     for s, p in enumerate(payloads):
         codes[s, : len(p)] = np.frombuffer(p, np.uint8)

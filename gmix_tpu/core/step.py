@@ -695,22 +695,26 @@ def _byte_step(
         else:
             rows = rows_stable
         stepv = jax.lax.bitcast_convert_type(rows[:, :, SL], U32)  # (S, K)
+        # forward view with the bitcast steps lane zeroed: once a counter's bit
+        # pattern reaches 0x7F800000 (~2.1e9 updates) the lane reads as inf/NaN
+        # and inf*0 in the einsums would NaN-poison every prediction
+        rows_f = rows.at[:, :, SL].set(F32(0.0))
 
         base0 = jnp.concatenate([preds, jnp.zeros((S, WP - meta.n_pred), F32)], axis=1)
-        d0 = jnp.einsum("skw,sw->sk", rows[:, :n0], base0, preferred_element_type=F32)
-        y0 = _tri_solve(rows[:, :n0, meta.n_pred : meta.n_pred + n0], d0) if n0 > 1 else d0
+        d0 = jnp.einsum("skw,sw->sk", rows_f[:, :n0], base0, preferred_element_type=F32)
+        y0 = _tri_solve(rows_f[:, :n0, meta.n_pred : meta.n_pred + n0], d0) if n0 > 1 else d0
 
         base1 = jnp.concatenate(
             [y0, jnp.zeros((S, n1), F32), skip_preds,
              jnp.zeros((S, WP - n0 - n1 - nskip), F32)], axis=1
         )
-        d1 = jnp.einsum("skw,sw->sk", rows[:, n0 : n0 + n1], base1, preferred_element_type=F32)
-        y1 = _tri_solve(rows[:, n0 : n0 + n1, n0 : n0 + n1], d1) if n1 > 1 else d1
+        d1 = jnp.einsum("skw,sw->sk", rows_f[:, n0 : n0 + n1], base1, preferred_element_type=F32)
+        y1 = _tri_solve(rows_f[:, n0 : n0 + n1, n0 : n0 + n1], d1) if n1 > 1 else d1
 
         base2 = jnp.concatenate(
             [y0, y1, skip_preds, jnp.zeros((S, WP - n0 - n1 - nskip), F32)], axis=1
         )
-        final_logit = jnp.einsum("sw,sw->s", rows[:, K - 1], base2, preferred_element_type=F32)
+        final_logit = jnp.einsum("sw,sw->s", rows_f[:, K - 1], base2, preferred_element_type=F32)
         prob = clamp_prob(logistic(final_logit))
 
         # ---- arithmetic coder (encoder.cpp:10-25 / decoder.cpp:19-39) ----

@@ -284,9 +284,11 @@ class NativeDictionary:
 
 
 def load(path: Optional[str] = None, native: bool = True):
-    """Load the english dictionary transform (reference asset by default)."""
+    """Load the english dictionary transform (vendored asset by default)."""
     if path is None:
-        path = "/root/reference/dictionary/english.dic"
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "assets", "english.dic"
+        )
     data = open(path, "rb").read()
     if native:
         try:

@@ -22,7 +22,9 @@ from typing import Optional
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _lib: Optional[ctypes.CDLL] = None
 
-DEFAULT_ORDER = "/root/reference/article_order/enwik9_article_order"
+DEFAULT_ORDER = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), "assets", "enwik9_article_order"
+)
 
 
 def _load() -> ctypes.CDLL:

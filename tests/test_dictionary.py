@@ -5,7 +5,10 @@ import pytest
 
 from gmix_tpu.preprocess import dictionary as D
 
-DICT_PATH = "/root/reference/dictionary/english.dic"
+DICT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "gmix_tpu", "assets", "english.dic",
+)
 
 SAMPLES = [
     b"",
@@ -23,14 +26,14 @@ SAMPLES = [
 @pytest.fixture(scope="module")
 def pydict():
     if not os.path.exists(DICT_PATH):
-        pytest.skip("reference dictionary asset unavailable")
+        pytest.skip("dictionary asset unavailable")
     return D.Dictionary(open(DICT_PATH, "rb").read())
 
 
 @pytest.fixture(scope="module")
 def ndict():
     if not os.path.exists(DICT_PATH):
-        pytest.skip("reference dictionary asset unavailable")
+        pytest.skip("dictionary asset unavailable")
     try:
         return D.NativeDictionary(open(DICT_PATH, "rb").read())
     except RuntimeError:
