@@ -78,6 +78,23 @@ class IndirectHashCtx:
 
 
 @dataclass(frozen=True)
+class RollHashCtx:
+    """Incremental Rabin-Karp hash of EXACTLY the last `order` bytes.
+
+    The reference's skip-context packing caps at 8 bytes (a u64 key,
+    src/contexts/skip-context.h); deep PPM orders need byte windows past
+    that, so this context maintains h = sum_i recent[i] * B^i mod 2^32
+    with an O(1) per-byte update (subtract the leaving byte's B^(order-1)
+    term, multiply by B, add the entering byte) and publishes
+    murmur-finalised h. TPU-native: one fused elementwise update across all
+    instances and streams per byte.
+    """
+
+    name: str
+    order: int
+
+
+@dataclass(frozen=True)
 class IndirectModel:
     """Two-state-machine indirect predictor (src/models/indirect.cpp).
 
@@ -127,8 +144,20 @@ class PpmSpec:
     bit predictor and as the LSTM's aux input, lstm-model.cpp:21). The
     reference's 2 GB pointer-chasing suffix-tree suballocator is not
     expressible in a TPU scan (and a host round-trip per byte would serialise
-    decode), so this is a re-design: hashed fixed-order context tables of
-    uint16 counts with PPM-C style escape blending, all gather/scatter.
+    decode), so this is a re-design over hashed fixed-order count tables with
+    the three PPMd mechanisms that carry its quality, all dense-vectorised:
+
+    - blending runs HIGHEST order first with symbol exclusion: symbols seen at
+      a higher order are masked out of every lower order's counts and escape
+      estimate (PPMd's exclusion list, mod_ppmd.cpp:1192-1220);
+    - escapes are adaptive: esc = sigmoid(logit(ppmc) + adj[order, bucket])
+      where ppmc is the PPM-C prior distinct/(total+distinct) and adj is an
+      online-learned correction bucketed by (order, distinct-count) — the
+      SEE mechanism (mod_ppmd.cpp:465-496, 1024-1175) reduced to a learned
+      logistic offset;
+    - update exclusion: counts update only at orders >= the order that coded
+      the byte (PPMd updates the matched context and its escaping parents,
+      not the shorter ones, mod_ppmd.cpp:498-660).
     """
 
     orders: Tuple[PpmOrder, ...] = (
@@ -136,10 +165,18 @@ class PpmSpec:
         PpmOrder("h2", 16),
         PpmOrder("h3", 16),
         PpmOrder("h4", 16),
+        PpmOrder("h5", 16),
         PpmOrder("h6", 16),
+        PpmOrder("roll_8", 16),
+        PpmOrder("roll_12", 16),
+        PpmOrder("roll_20", 16),
     )
     inc: int = 4  # count increment per observed byte
     rescale_total: int = 48000  # halve a row when its total exceeds this
+    see_buckets: int = 16  # distinct-count buckets per order
+    see_lr: float = 0.02  # online lr of the escape correction
+    exclusion: bool = True  # symbol exclusion across orders
+    update_exclusion: bool = True  # PPMd-style update exclusion
 
 
 @dataclass(frozen=True)
@@ -169,6 +206,7 @@ class EnsembleSpec:
     lstm: Optional[LstmSpec] = LstmSpec()
     ppm: Optional[PpmSpec] = None  # PPM byte model (feeds ppm_probs)
     history_bits: int = 24  # dedup history ring size (reference: unbounded)
+    roll_ctxs: Tuple[RollHashCtx, ...] = ()  # deep-order rolling-hash contexts
 
     @property
     def use_ppm(self) -> bool:
@@ -180,6 +218,7 @@ class EnsembleSpec:
         names += [c.name for c in self.skip_ctxs]
         names += [c.name for c in self.interval_ctxs]
         names += [c.name for c in self.ihash_ctxs]
+        names += [c.name for c in self.roll_ctxs]
         assert len(names) == len(set(names)), "duplicate context names"
         return tuple(names)
 
@@ -417,6 +456,11 @@ def reference_spec() -> EnsembleSpec:
         lstm=LstmSpec(),
         ppm=PpmSpec(),
         history_bits=24,
+        roll_ctxs=(
+            RollHashCtx("roll_8", 8),
+            RollHashCtx("roll_12", 12),
+            RollHashCtx("roll_20", 20),
+        ),
     )
     spec.validate()
     return spec
@@ -461,10 +505,18 @@ def tiny_spec(with_lstm: bool = False) -> EnsembleSpec:
         matches=matches,
         mixers=mixers,
         lstm=LstmSpec(num_cells=16, horizon=10, update_limit=30) if with_lstm else None,
-        ppm=PpmSpec(orders=(PpmOrder("last_byte", 4), PpmOrder("h2", 6)))
+        ppm=PpmSpec(
+            orders=(
+                PpmOrder("last_byte", 4),
+                PpmOrder("h2", 6),
+                PpmOrder("roll_4", 6),
+            ),
+            see_buckets=8,
+        )
         if with_lstm
         else None,
         history_bits=12,
+        roll_ctxs=(RollHashCtx("roll_4", 4),) if with_lstm else (),
     )
     spec.validate()
     return spec

@@ -22,6 +22,7 @@ from ..config import EnsembleSpec
 
 LANE = 128  # pad mixer weight rows to the TPU lane width
 MAX_SKIP = 8  # skip contexts hash at most 8 recent bytes (skip-context.h)
+ROLL_BASE = 0x01000193  # rolling-hash base: FNV-32 prime (odd -> bijective mult)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -114,6 +115,12 @@ class Meta:
     ppm_masks: np.ndarray  # (NO,) uint32
     ppm_row_offsets: np.ndarray  # (NO,) int32 into the row arena
     ppm_total_rows: int
+
+    # rolling-hash contexts (deep PPM orders): h' = (h - leave*B^(n-1))*B + c
+    roll_slots: np.ndarray  # (NR,) int32 ctx slots
+    roll_old_ix: np.ndarray  # (NR,) int32 index into recent of the leaving byte
+    roll_pows: np.ndarray  # (NR,) uint32 B^(order-1) mod 2^32
+    recent_size: int  # recent-byte ring length (>= max roll order)
 
     # byte-boundary context columns written in one scatter:
     # [last_byte, recent_1..recent_9]
@@ -226,6 +233,12 @@ def build_meta(spec: EnsembleSpec) -> Meta:
     orders = spec.ppm.orders if spec.ppm else ()
     ppm_row_offsets, ppm_masks, ppm_total_rows = _arena([o.table_bits for o in orders])
 
+    # --- rolling-hash contexts ---
+    roll_pows = np.array(
+        [pow(ROLL_BASE, c.order - 1, 1 << 32) for c in spec.roll_ctxs], np.uint32
+    )
+    recent_size = max([16] + [c.order for c in spec.roll_ctxs])
+
     return Meta(
         spec=spec,
         slots=slots,
@@ -277,6 +290,10 @@ def build_meta(spec: EnsembleSpec) -> Meta:
         ppm_masks=ppm_masks,
         ppm_row_offsets=ppm_row_offsets,
         ppm_total_rows=ppm_total_rows,
+        roll_slots=np.array([slots[c.name] for c in spec.roll_ctxs], np.int32),
+        roll_old_ix=np.array([c.order - 1 for c in spec.roll_ctxs], np.int32),
+        roll_pows=roll_pows,
+        recent_size=recent_size,
         byte_ctx_cols=np.array(
             [slots["last_byte"]] + [slots[f"recent_{i}"] for i in range(1, 10)], np.int32
         ),

@@ -59,7 +59,7 @@ from ..ops import coder as coder_ops
 from ..ops.murmur import murmur3_u32, murmur3_u64
 from ..ops.sigmoid import clamp_prob, logistic, logit
 from ..ops.tables import nonstationary_table, run_map_table
-from .meta import Meta
+from .meta import Meta, ROLL_BASE
 
 F32 = jnp.float32
 U32 = jnp.uint32
@@ -132,6 +132,17 @@ def _boundary(stm: Dict, ltm: Dict, t: jnp.ndarray, meta: Meta) -> Tuple[Dict, D
         )
         ctx = ctx.at[:, jnp.asarray(meta.skip_slots)].set(murmur3_u64(lo, hi))
 
+    # --- rolling-hash contexts (deep PPM orders): O(1) Rabin-Karp update
+    # h' = (h - leaving*B^(n-1))*B + completed over the pre-shift recent ring,
+    # published murmur-finalised (see config.RollHashCtx) ---
+    if spec.roll_ctxs:
+        old_b = stm["recent"][:, jnp.asarray(meta.roll_old_ix)]  # (S, NR) pre-shift
+        pows = jnp.asarray(meta.roll_pows)[None, :]
+        h_new = (stm["roll_h"] - old_b * pows) * U32(ROLL_BASE) + completed[:, None]
+        h_new = jnp.where(not_first, h_new, stm["roll_h"])
+        ctx = ctx.at[:, jnp.asarray(meta.roll_slots)].set(murmur3_u32(h_new))
+        stm = _set(stm, roll_h=h_new)
+
     # --- indirect-hash contexts (indirect-hash.cpp:16-31), one flat arena ---
     if spec.ihash_ctxs:
         f = stm["ih_tbl"]  # (S, TOT)
@@ -172,32 +183,121 @@ def _ppm_rows(stm: Dict, ctx: jnp.ndarray, meta: Meta) -> Tuple[jnp.ndarray, jnp
     return h, stm["ppm_tbl"][jnp.arange(S)[:, None], h]
 
 
+def _ppm_cascade(rows_f: jnp.ndarray, see: jnp.ndarray, sp):
+    """Shared top-down exclusion cascade over the PPM orders.
+
+    rows_f: (S, NO, 256) float counts, lowest order at index 0; see:
+    (S, NO, NB) learned escape-logit offsets. Returns per-order lists (index =
+    order position) of masked rows, totals, has-flags, adaptive escape probs
+    and SEE bucket one-hots, plus the final exclusion mask.
+
+    Mirrors PPMd's prediction walk (mod_ppmd.cpp:1192-1220): highest order
+    first; symbols seen at a processed order are excluded from every lower
+    order's counts AND escape statistics (the exclusion list); the escape
+    probability is the PPM-C prior distinct/(total+distinct) bent by a learned
+    per-(order, distinct-bucket) logistic offset (SEE, mod_ppmd.cpp:465-496).
+    """
+    S, NO, _ = rows_f.shape
+    NB = sp.see_buckets
+    excl = jnp.zeros((S, 256), jnp.bool_)
+    mrow = [None] * NO
+    total = [None] * NO
+    has = [None] * NO
+    esc = [None] * NO
+    bucket_oh = [None] * NO
+    for i in range(NO - 1, -1, -1):
+        row = jnp.where(excl, F32(0.0), rows_f[:, i]) if sp.exclusion else rows_f[:, i]
+        t = jnp.sum(row, axis=1)
+        distinct = jnp.sum(row > 0, axis=1).astype(F32)
+        h = t > 0
+        ppmc = distinct / jnp.maximum(t + distinct, F32(1.0))
+        oh = jax.nn.one_hot(
+            jnp.minimum(distinct.astype(I32), NB - 1), NB, dtype=F32
+        )
+        adj = jnp.sum(see[:, i] * oh, axis=1)
+        e = logistic(logit(ppmc) + adj)
+        mrow[i], total[i], has[i], esc[i], bucket_oh[i] = row, t, h, e, oh
+        if sp.exclusion:
+            excl = excl | (rows_f[:, i] > 0)
+    return mrow, total, has, esc, bucket_oh, excl
+
+
 def _ppm_update(stm: Dict, completed: jnp.ndarray, meta: Meta) -> Dict:
+    """Per-byte PPM learn: SEE escape-correction update, PPMd-style update
+    exclusion, count increment + rescale (reference: ppmd_UpdateByte at the
+    byte boundary, mod_ppmd.cpp:1649-1660, 498-660)."""
     sp = meta.spec.ppm
     S = completed.shape[0]
+    NO = len(sp.orders)
     h, rows = _ppm_rows(stm, stm["ctx"], meta)
-    rows = rows.astype(I32) + jax.nn.one_hot(_iar(completed), 256, dtype=I32)[:, None, :] * sp.inc
-    total = jnp.sum(rows, axis=2)
-    rows = jnp.where((total > sp.rescale_total)[:, :, None], (rows + 1) >> 1, rows)
-    tbl = stm["ppm_tbl"].at[jnp.arange(S)[:, None], h].set(
-        rows.astype(jnp.uint16), unique_indices=True
+    rows_f = rows.astype(F32)
+    see = stm["ppm_see"]
+    mrow, total, has, esc, bucket_oh, _ = _ppm_cascade(rows_f, see, sp)
+
+    c_oh = jax.nn.one_hot(_iar(completed), 256, dtype=F32)  # (S, 256)
+    # found_i: the byte was codable at order i under exclusion; the cascade
+    # stops at the highest found order ("coded"), so orders below it were
+    # never exercised and orders above it all escaped.
+    found = [has[i] & (jnp.sum(mrow[i] * c_oh, axis=1) > 0) for i in range(NO)]
+    higher_found = [None] * NO  # any found at order > i
+    hf = jnp.zeros((S,), jnp.bool_)
+    for i in range(NO - 1, -1, -1):
+        higher_found[i] = hf
+        hf = hf | found[i]
+
+    # SEE learn: for exercised orders, esc moves toward the observed escape
+    # event (1 above the coded order, 0 at it)
+    upd = []
+    for i in range(NO):
+        exercised = has[i] & jnp.logical_not(higher_found[i])
+        target = jnp.logical_not(found[i]).astype(F32)
+        delta = jnp.where(exercised, F32(sp.see_lr) * (target - esc[i]), F32(0.0))
+        upd.append(bucket_oh[i] * delta[:, None])
+    see = see + jnp.stack(upd, axis=1)
+
+    # count update: orders at/above the coded order only (update exclusion)
+    if sp.update_exclusion:
+        inc_on = jnp.stack(
+            [jnp.logical_not(higher_found[i]) for i in range(NO)], axis=1
+        )  # (S, NO)
+    else:
+        inc_on = jnp.ones((S, NO), jnp.bool_)
+    rows_i = rows.astype(I32) + jnp.where(
+        inc_on[:, :, None], _iar(c_oh)[:, None, :] * sp.inc, 0
     )
-    return _set(stm, ppm_tbl=tbl)
+    tot_i = jnp.sum(rows_i, axis=2)
+    rows_i = jnp.where((tot_i > sp.rescale_total)[:, :, None], (rows_i + 1) >> 1, rows_i)
+    tbl = stm["ppm_tbl"].at[jnp.arange(S)[:, None], h].set(
+        rows_i.astype(jnp.uint16), unique_indices=True
+    )
+    return _set(stm, ppm_tbl=tbl, ppm_see=see)
 
 
 def _ppm_predict(stm: Dict, meta: Meta) -> Dict:
-    """PPM-C style escape blending, lowest order first (no exclusions)."""
+    """Next-byte distribution: highest order first with symbol exclusion and
+    adaptive escapes; leftover mass goes uniformly to unseen symbols
+    (the order-(-1) model, mod_ppmd.cpp:1322-1384)."""
+    sp = meta.spec.ppm
     S = stm["bits_seen"].shape[0]
+    NO = len(sp.orders)
     _, rows = _ppm_rows(stm, stm["ctx"], meta)
-    rows = rows.astype(F32)  # (S, NO, 256)
-    p = jnp.full((S, 256), 1.0 / 256, F32)
-    for i in range(rows.shape[1]):
-        row = rows[:, i]
-        total = jnp.sum(row, axis=1)
-        distinct = jnp.sum(row > 0, axis=1).astype(F32)
-        denom = jnp.maximum(total + distinct, 1.0)
-        blend = row / denom[:, None] + (distinct / denom)[:, None] * p
-        p = jnp.where((total > 0)[:, None], blend, p)
+    rows_f = rows.astype(F32)
+    mrow, total, has, esc, _, excl = _ppm_cascade(rows_f, stm["ppm_see"], sp)
+
+    p = jnp.zeros((S, 256), F32)
+    w = jnp.ones((S,), F32)
+    for i in range(NO - 1, -1, -1):
+        contrib = jnp.where(has[i], w * (F32(1.0) - esc[i]), F32(0.0))
+        p = p + contrib[:, None] * mrow[i] / jnp.maximum(total[i], F32(1.0))[:, None]
+        w = jnp.where(has[i], w * esc[i], w)
+    # order -1: uniform over non-excluded symbols; all-excluded -> uniform all
+    nex = jnp.sum(jnp.logical_not(excl).astype(F32), axis=1)
+    uni = jnp.where(
+        (nex > 0)[:, None],
+        jnp.logical_not(excl).astype(F32) / jnp.maximum(nex, F32(1.0))[:, None],
+        F32(1.0 / 256),
+    )
+    p = p + w[:, None] * uni
     return _set(
         stm,
         ppm_probs=p,

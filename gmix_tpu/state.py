@@ -36,11 +36,14 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
         "new_bit": jnp.zeros((S,), u32),
         "acc": jnp.zeros((S,), u32),  # bits of the in-flight byte (MSB-first value)
         "last_byte": jnp.zeros((S,), u32),
-        "recent": jnp.zeros((S, 16), u32),  # recent[:, i] = byte i-ago (i=0: last)
+        # recent[:, i] = byte i-ago (i=0: last); sized to the deepest roll ctx
+        "recent": jnp.zeros((S, meta.recent_size), u32),
         "ctx": jnp.zeros((S, meta.n_ctx), u32),
         "hist_n": jnp.zeros((S,), u32),
         "ppm_probs": jnp.full((S, 256), 1.0 / 256, f32),
     }
+    if spec.roll_ctxs:
+        stm["roll_h"] = jnp.zeros((S, len(spec.roll_ctxs)), u32)
     if spec.matches:
         nm = len(spec.matches)
         stm["match_ptr"] = jnp.zeros((S, nm), u32)
@@ -96,6 +99,12 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
         stm["ppm_top"] = jnp.full((S,), 255, i32)
         stm["ppm_bot"] = jnp.zeros((S,), i32)
         stm["ppm_mid"] = jnp.full((S,), 127, i32)
+        # SEE escape correction: logit offset per (order, distinct bucket),
+        # init 0 = pure PPM-C prior (mod_ppmd.cpp:465-496 reduced to a
+        # learned logistic offset)
+        stm["ppm_see"] = jnp.zeros(
+            (S, len(spec.ppm.orders), spec.ppm.see_buckets), f32
+        )
 
     # --- LSTM ---
     if spec.lstm is not None:
