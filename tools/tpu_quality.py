@@ -1,0 +1,131 @@
+"""Compression-QUALITY ablations on the real TPU: encode-only bpb per variant.
+
+Each variant compresses the same corpus once and reports archive bpb + model
+cross-entropy bpb (roundtrip exactness is covered by bench.py and the test
+suite; decode adds nothing to a quality measurement). Results append to
+data/quality_ablations.json so the parity gap vs the reference is attributed
+component by component (VERDICT round-2 ask #1/#2).
+
+Usage:
+  python tools/tpu_quality.py VARIANT [VARIANT ...]
+Variants:
+  ref-x4            full reference tables, 4 streams (the parity config)
+  ref-x4-noppm      full tables, PPM removed
+  ref-x4-oldppm     full tables, round-2 PPM (shallow orders, no excl/SEE)
+  scaled-14x16      round-2 bench config with the new PPM
+  scaled-14x16-noppm
+  scaled-14x16-oldppm
+  scaled-12x64      throughput-frontier candidate
+Env: GMIX_QUAL_BYTES (default 1<<20), GMIX_QUAL_CHUNK (default 4000).
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _corpus(n: int) -> bytes:
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data", "corpus_1m.bin")
+    data = open(path, "rb").read()
+    while len(data) < n:
+        data += data
+    return data[:n]
+
+
+def _old_ppm():
+    """The round-2 PPM configuration: 5 shallow orders, lowest-first PPM-C
+    blend semantics approximated by disabling exclusion/SEE/update-exclusion."""
+    from gmix_tpu.config import PpmOrder, PpmSpec
+
+    return PpmSpec(
+        orders=(
+            PpmOrder("last_byte", 8),
+            PpmOrder("h2", 16),
+            PpmOrder("h3", 16),
+            PpmOrder("h4", 16),
+            PpmOrder("h6", 16),
+        ),
+        see_lr=0.0,
+        exclusion=False,
+        update_exclusion=False,
+    )
+
+
+def make_variant(name: str):
+    from gmix_tpu.config import reference_spec, scale_tables
+
+    if name.startswith("ref"):
+        parts = name.split("-")
+        S = int(parts[1][1:])  # xN
+        spec = reference_spec()
+        mod = parts[2] if len(parts) > 2 else ""
+    else:
+        parts = name.split("-")[1].split("x")
+        bits, S = int(parts[0]), int(parts[1])
+        spec = scale_tables(reference_spec(), bits, history_bits=min(24, bits + 4))
+        mod = name.split("-")[2] if name.count("-") > 1 else ""
+    if mod == "noppm":
+        spec = dataclasses.replace(spec, ppm=None)
+    elif mod == "oldppm":
+        spec = dataclasses.replace(spec, ppm=_old_ppm())
+    spec.validate()
+    return spec, S
+
+
+def run_variant(name: str, data: bytes, chunk: int):
+    import jax
+
+    from gmix_tpu.core.codec import Predictor, compress_bytes, entropy_bits
+    from gmix_tpu.state import state_bytes
+
+    spec, S = make_variant(name)
+    n = len(data)
+    pred = Predictor(spec, S)
+    mem = state_bytes(pred.state)
+    sys.stderr.write(f"quality: {name} state={mem/2**30:.2f} GiB S={S}\n")
+    t0 = time.time()
+    blob = compress_bytes(data, spec, S, chunk, pred=pred)
+    t_enc = time.time() - t0
+    ent = entropy_bits(pred) / n
+    res = {
+        "variant": name,
+        "corpus_bytes": n,
+        "chunk": chunk,
+        "streams": S,
+        "state_gib": round(mem / 2**30, 3),
+        "bpb": round(8 * len(blob) / n, 4),
+        "model_bpb": round(ent, 4),
+        "enc_s": round(t_enc, 1),
+        "enc_mbps": round(n / t_enc / 1e6, 4),
+    }
+    del pred
+    return res
+
+
+def main():
+    n = int(os.environ.get("GMIX_QUAL_BYTES", 1 << 20))
+    chunk = int(os.environ.get("GMIX_QUAL_CHUNK", 4000))
+    data = _corpus(n)
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "quality_ablations.json",
+    )
+    results = []
+    if os.path.exists(out_path):
+        results = json.load(open(out_path))
+    for name in sys.argv[1:]:
+        try:
+            res = run_variant(name, data, chunk)
+        except Exception as e:
+            res = {"variant": name, "error": f"{type(e).__name__}: {e}"[:300]}
+        print(json.dumps(res), flush=True)
+        results = [r for r in results if r.get("variant") != name] + [res]
+        json.dump(results, open(out_path, "w"), indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
