@@ -65,101 +65,109 @@ class Dictionary:
                 count += 1
                 word.clear()
 
-    # --- encode -----------------------------------------------------------
-    def _emit_byte(self, c: int, out: bytearray) -> None:
+    # --- encode: tokenize (case-folded words / literals / &quot;) then emit --
+    def _tokenize(self, data: bytes):
+        """Yield (kind, payload) tokens: ('b', byte), ('q', None), or
+        ('w', (lowercased word, caps, end_upper)) with caps in
+        {0: none, 1: Capitalized, 2: ALL-CAPS}.
+
+        A word is a maximal letter run that is all-lowercase, Capitalized, or
+        ALL-CAPS, and also closes when it outgrows the longest dictionary
+        entry. The "&quot;" cursor runs concurrently with word building: its
+        first five bytes still feed the word machine and the terminating ';'
+        retroactively replaces their accumulation with one quote token (the
+        '&' was already flushed as a literal)."""
+        lo_a, lo_z, up_a, up_z = ord("a"), ord("z"), ord("A"), ord("Z")
+        word = bytearray()
+        uppers = lowers = quote_pos = 0
+        tokens = []
+
+        def close(followed_by_lower: bool):
+            nonlocal uppers, lowers
+            if word:
+                caps = 2 if uppers > 1 else 1 if uppers == 1 else 0
+                tokens.append(
+                    ("w", (bytes(word), caps, caps == 2 and followed_by_lower))
+                )
+                word.clear()
+            uppers = lowers = 0
+
+        for c in data:
+            if c == QUOTE_STR[quote_pos]:
+                quote_pos += 1
+                if quote_pos == len(QUOTE_STR):
+                    word.clear()
+                    uppers = lowers = quote_pos = 0
+                    tokens.append(("q", None))
+                    continue
+            else:
+                quote_pos = 0  # no restart-on-mismatch: matches the format
+            lo = lo_a <= c <= lo_z
+            up = up_a <= c <= up_z
+            if len(word) <= self.longest and ((lo and uppers <= 1) or (up and lowers == 0)):
+                word.append(c if lo else c - up_a + lo_a)
+                if lo:
+                    lowers += 1
+                else:
+                    uppers += 1
+                continue
+            close(followed_by_lower=lo)
+            if lo:
+                word.append(c)
+                lowers = 1
+            elif up:
+                word.append(c - up_a + lo_a)
+                uppers = 1
+            else:
+                tokens.append(("b", c))
+        close(followed_by_lower=False)
+        return tokens
+
+    def _emit_literal(self, c: int, out: bytearray) -> None:
         if c in (K_END_UPPER, K_ESCAPE, K_UPPERCASE, K_CAPITALIZED, K_QUOTE) or c >= 0x80:
             out.append(K_ESCAPE)
         out.append(c)
 
-    def _emit_word(self, word: bytes, num_upper: int, next_lower: bool, out: bytearray) -> None:
-        if num_upper > 1:
-            out.append(K_UPPERCASE)
-        elif num_upper == 1:
-            out.append(K_CAPITALIZED)
-        code = self.byte_map.get(word)
-        if code is not None:
-            out += code
-        elif not self._emit_substring(word, out):
-            out += word
-        if num_upper > 1 and next_lower:
-            out.append(K_END_UPPER)
-
-    def _emit_substring(self, word: bytes, out: bytearray) -> bool:
+    def _emit_partial(self, word: bytes, out: bytearray) -> bool:
+        """Longest dictionary suffix, then longest prefix, both >= 7 chars and
+        strictly shorter than the word; unmatched chars pass raw."""
         if len(word) <= 7:
             return False
-        size = min(len(word) - 1, self.longest)
-        suffix = word[len(word) - size :]
-        while len(suffix) >= 7:
-            code = self.byte_map.get(suffix)
+        window = min(len(word) - 1, self.longest)
+        for ln in range(window, 6, -1):
+            code = self.byte_map.get(word[len(word) - ln :])
             if code is not None:
-                out += word[: len(word) - len(suffix)]
+                out += word[: len(word) - ln]
                 out += code
                 return True
-            suffix = suffix[1:]
-        prefix = word[:size]
-        while len(prefix) >= 7:
-            code = self.byte_map.get(prefix)
+        for ln in range(window, 6, -1):
+            code = self.byte_map.get(word[:ln])
             if code is not None:
                 out += code
-                out += word[len(prefix) :]
+                out += word[ln:]
                 return True
-            prefix = prefix[:-1]
         return False
 
     def encode(self, data: bytes) -> bytes:
         out = bytearray()
-        word = bytearray()
-        num_upper = num_lower = quote_state = 0
-        n = len(data)
-        for pos in range(n):
-            c = data[pos]
-            if c == QUOTE_STR[quote_state]:
-                quote_state += 1
-                if quote_state == 6:
-                    out.append(K_QUOTE)
-                    num_upper = num_lower = 0
-                    word.clear()
-                    quote_state = 0
-                    continue
+        for kind, payload in self._tokenize(data):
+            if kind == "q":
+                out.append(K_QUOTE)
+            elif kind == "b":
+                self._emit_literal(payload, out)
             else:
-                quote_state = 0
-            advance = False
-            if len(word) > self.longest:
-                advance = True
-            elif ord("a") <= c <= ord("z"):
-                if num_upper > 1:
-                    advance = True
-                else:
-                    num_lower += 1
-                    word.append(c)
-            elif ord("A") <= c <= ord("Z"):
-                if num_lower > 0:
-                    advance = True
-                else:
-                    num_upper += 1
-                    word.append(c - ord("A") + ord("a"))
-            else:
-                advance = True
-            if pos == n - 1 and not advance:
-                self._emit_word(bytes(word), num_upper, False, out)
-            if advance:
-                if not word:
-                    self._emit_byte(c, out)
-                else:
-                    next_lower = ord("a") <= c <= ord("z")
-                    self._emit_word(bytes(word), num_upper, next_lower, out)
-                    num_lower = num_upper = 0
-                    word.clear()
-                    if next_lower:
-                        num_lower += 1
-                        word.append(c)
-                    elif ord("A") <= c <= ord("Z"):
-                        num_upper += 1
-                        word.append(c - ord("A") + ord("a"))
-                    else:
-                        self._emit_byte(c, out)
-                    if pos == n - 1 and word:
-                        self._emit_word(bytes(word), num_upper, False, out)
+                word, caps, end_upper = payload
+                if caps == 2:
+                    out.append(K_UPPERCASE)
+                elif caps == 1:
+                    out.append(K_CAPITALIZED)
+                code = self.byte_map.get(word)
+                if code is not None:
+                    out += code
+                elif not self._emit_partial(word, out):
+                    out += word
+                if end_upper:
+                    out.append(K_END_UPPER)
         return bytes(out)
 
     # --- decode -----------------------------------------------------------
