@@ -160,14 +160,23 @@ def main(argv=None):
                 for name, nbytes in memory_report(pred):
                     f.write(f"{name}\t{nbytes}\n")
                 f.write(f"TOTAL\t{pred.memory_bytes()}\n")
+            # The per-column entropy EMA itself updates EVERY BIT in-model
+            # (alpha=1e-5, as predictor.cpp:439-469); only the snapshot
+            # cadence differs from the reference: rows are sampled once per
+            # scan chunk (the host cannot observe mid-chunk state without
+            # stalling the device pipeline) and labelled with the exact
+            # per-stream bit counter from the model state.
             ent_f = open(os.path.join(args.analysis, "entropy.tsv"), "w")
-            ent_f.write("bytes\t" + "\t".join(analysis_columns(spec)) + "\n")
+            ent_f.write("bits\t" + "\t".join(analysis_columns(spec)) + "\n")
             base_progress = progress
 
             def progress(done, _pred=pred, _f=ent_f):
                 base_progress(done)
+                import jax
+
+                bits = int(np.mean(jax.device_get(_pred.state["stm"]["bits_seen"])))
                 row = analysis_snapshot(_pred).mean(axis=0)
-                _f.write(f"{done}\t" + "\t".join(f"{v:.5f}" for v in row) + "\n")
+                _f.write(f"{bits}\t" + "\t".join(f"{v:.5f}" for v in row) + "\n")
                 _f.flush()
 
         blob = compress_bytes(data, spec, args.streams, args.chunk, pred=pred,

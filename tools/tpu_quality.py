@@ -78,18 +78,47 @@ def make_variant(name: str):
 def run_variant(name: str, data: bytes, chunk: int):
     import jax
 
-    from gmix_tpu.core.codec import Predictor, compress_bytes, entropy_bits
+    from gmix_tpu.core.codec import (
+        Predictor,
+        analysis_columns,
+        analysis_snapshot,
+        compress_bytes,
+        entropy_bits,
+    )
     from gmix_tpu.state import state_bytes
 
     spec, S = make_variant(name)
     n = len(data)
-    pred = Predictor(spec, S)
-    mem = state_bytes(pred.state)
+    # warm the compile cache outside the timed region (the jit happens on the
+    # first chunk; the tunnel compile can dwarf the encode otherwise); at most
+    # ONE state is live at any moment
+    import jax.numpy as jnp
+
+    from gmix_tpu.core.codec import _WORST_PER_BYTE, _pad_streams, run_chunks
+
+    _, per = _pad_streams(data, S, chunk)
+    cap = int(per + per // 2 + _WORST_PER_BYTE * chunk + 4096)
+    wpred = Predictor(spec, S)
+    mem = state_bytes(wpred.state)
     sys.stderr.write(f"quality: {name} state={mem/2**30:.2f} GiB S={S}\n")
+    run_chunks(
+        wpred,
+        jnp.zeros((S, per), jnp.uint8),
+        jnp.zeros((S, cap), jnp.uint8),
+        chunk,
+        decode=False,
+        chunk=chunk,
+    )
+    del wpred
+    pred = Predictor(spec, S)
     t0 = time.time()
     blob = compress_bytes(data, spec, S, chunk, pred=pred)
     t_enc = time.time() - t0
     ent = entropy_bits(pred) / n
+    # final per-column entropy EMA (bits/bit), stream-averaged: the per-model
+    # attribution table (compare against the reference's analysis/entropy.tsv)
+    ema = analysis_snapshot(pred).mean(axis=0)
+    cols = analysis_columns(spec)
     res = {
         "variant": name,
         "corpus_bytes": n,
@@ -100,6 +129,7 @@ def run_variant(name: str, data: bytes, chunk: int):
         "model_bpb": round(ent, 4),
         "enc_s": round(t_enc, 1),
         "enc_mbps": round(n / t_enc / 1e6, 4),
+        "model_ema": {c: round(float(v), 5) for c, v in zip(cols, ema)},
     }
     del pred
     return res
