@@ -285,6 +285,18 @@ class EnsembleSpec:
             for o in self.ppm.orders:
                 assert o.ctx in names, f"unknown context {o.ctx!r} in ppm"
         assert len(self.mixers_in_layer(2)) == 1, "exactly one final mixer required"
+        # bit-varying contexts live in registers inside the bit sub-steps;
+        # only mixers are wired to read them there (the per-byte kernels
+        # assume every other gating context is byte-stable)
+        vary = {"bit_ctx", "lb_recent", "slb_recent", "longest_match"}
+        for m in list(self.indirects) + list(self.matches):
+            assert m.ctx not in vary, (
+                f"{m.name}: bit-varying context {m.ctx!r} is only supported "
+                "as a mixer gate"
+            )
+        if self.ppm is not None:
+            for o in self.ppm.orders:
+                assert o.ctx not in vary, "ppm orders need byte-stable contexts"
 
     def stable_hash(self) -> int:
         """Stable 64-bit digest of the spec, embedded in the container format."""

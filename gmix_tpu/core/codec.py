@@ -30,7 +30,10 @@ from .meta import Meta, build_meta
 from .step import get_chunk_fn, get_gen_chunk_fn
 
 MAGIC = b"GXTC"
-VERSION = 1
+# v2: indirect lane rotation + tag-verified PPM rows changed the model
+# evolution, so v1 archives would decode to garbage - the version gate turns
+# that into a clean error
+VERSION = 2
 # worst-case output bytes per input byte (4 renorm bytes * 8 bits + slack)
 _WORST_PER_BYTE = 33
 

@@ -73,6 +73,10 @@ class Meta:
     mix_lrs: np.ndarray  # (K,) float32
     mix_stable_ix: np.ndarray  # (Kst,) int32 k-indices with byte-stable ctx
     mix_vary_ix: np.ndarray  # (Kv,) int32 k-indices with per-bit ctx
+    mix_vary_src: np.ndarray  # (Kv,) int32 index into the per-bit register
+    # stack [bit_ctx, lb_recent, slb_recent, longest_match] (the 4 and only 4
+    # bit-varying context kinds) - vary mixers read these registers directly
+    # instead of the ctx array, which then only needs one write per BYTE
     mix_perm: np.ndarray  # (K,) int32: concat([stable, vary])[perm] = k-order
     mix_n0: int
     mix_n1: int
@@ -128,6 +132,10 @@ class Meta:
     # per-bit context columns written in one scatter:
     # [bit_ctx, lb_recent, slb_recent]
     bit_ctx_cols: np.ndarray
+    # the full bit-register column set [bit_ctx, lb_recent, slb_recent,
+    # longest_match], written to ctx once per BYTE (the per-bit values live in
+    # registers; see _byte_step)
+    bitreg_ctx_cols: np.ndarray
 
     history_size: int
 
@@ -179,12 +187,16 @@ def build_meta(spec: EnsembleSpec) -> Meta:
     mix_offsets, mix_masks, mix_total_rows = _arena([m.table_bits for m in mixers])
     # +1 lane reserved for the bitcast steps counter
     width_pad = _round_up(max(spec.mixer_width(l) for l in range(3)) + 1, LANE)
-    ctx_varies_per_bit = {"bit_ctx", "lb_recent", "slb_recent", "longest_match"}
+    vary_order = ("bit_ctx", "lb_recent", "slb_recent", "longest_match")
+    ctx_varies_per_bit = set(vary_order)
     mix_stable_ix = np.array(
         [k for k, m in enumerate(mixers) if m.ctx not in ctx_varies_per_bit], np.int32
     )
     mix_vary_ix = np.array(
         [k for k, m in enumerate(mixers) if m.ctx in ctx_varies_per_bit], np.int32
+    )
+    mix_vary_src = np.array(
+        [vary_order.index(mixers[k].ctx) for k in mix_vary_ix], np.int32
     )
     concat_order = np.concatenate([mix_stable_ix, mix_vary_ix])
     mix_perm = np.argsort(concat_order).astype(np.int32)  # concat[perm] = k-order
@@ -255,6 +267,7 @@ def build_meta(spec: EnsembleSpec) -> Meta:
         mix_lrs=np.array([m.lr for m in mixers], np.float32),
         mix_stable_ix=mix_stable_ix,
         mix_vary_ix=mix_vary_ix,
+        mix_vary_src=mix_vary_src,
         mix_perm=mix_perm,
         mix_n0=len(spec.mixers_in_layer(0)),
         mix_n1=len(spec.mixers_in_layer(1)),
@@ -299,6 +312,10 @@ def build_meta(spec: EnsembleSpec) -> Meta:
         ),
         bit_ctx_cols=np.array(
             [slots["bit_ctx"], slots["lb_recent"], slots["slb_recent"]], np.int32
+        ),
+        bitreg_ctx_cols=np.array(
+            [slots["bit_ctx"], slots["lb_recent"], slots["slb_recent"],
+             slots["longest_match"]], np.int32
         ),
         history_size=1 << spec.history_bits,
     )

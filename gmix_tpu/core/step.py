@@ -48,6 +48,7 @@ Key design properties (SURVEY.md 7):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -175,12 +176,28 @@ def _boundary(stm: Dict, ltm: Dict, t: jnp.ndarray, meta: Meta) -> Tuple[Dict, D
     return stm, ltm
 
 
-def _ppm_rows(stm: Dict, ctx: jnp.ndarray, meta: Meta) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(flat row indices (S, NO), gathered rows (S, NO, 256)) of the PPM arena."""
+def _ppm_rows(stm: Dict, ctx: jnp.ndarray, meta: Meta):
+    """Row indices, gathered count rows, context tags, stored tags, and the
+    tag-match mask of the PPM arena for the current contexts.
+
+    Rows are TAG-VERIFIED: each row stores the high hash byte of the context
+    that owns it (stm["ppm_tag"]); a mismatch means a hash collision and the
+    row reads as empty (and is reclaimed on update). This turns the hashed
+    tables into 1-way caches - collisions become evictions instead of
+    histogram pollution, which is what lets hashed fixed-order tables stand in
+    for the reference's exact 2 GB suffix tree (mod_ppmd.cpp:126-330) at deep
+    orders."""
     S = ctx.shape[0]
-    h = _iar(ctx[:, jnp.asarray(meta.ppm_slots)] & jnp.asarray(meta.ppm_masks)[None, :])
+    cv = ctx[:, jnp.asarray(meta.ppm_slots)]
+    h = _iar(cv & jnp.asarray(meta.ppm_masks)[None, :])
     h = h + jnp.asarray(meta.ppm_row_offsets)[None, :]
-    return h, stm["ppm_tbl"][jnp.arange(S)[:, None], h]
+    s_ix = jnp.arange(S)[:, None]
+    rows = stm["ppm_tbl"][s_ix, h]
+    my_tag = ((cv >> U32(24)) & U32(255)).astype(jnp.uint8)
+    old_tag = stm["ppm_tag"][s_ix, h]
+    tag_ok = my_tag == old_tag
+    rows = jnp.where(tag_ok[:, :, None], rows, jnp.uint16(0))
+    return h, rows, my_tag, old_tag, tag_ok
 
 
 def _ppm_cascade(rows_f: jnp.ndarray, see: jnp.ndarray, sp):
@@ -229,7 +246,7 @@ def _ppm_update(stm: Dict, completed: jnp.ndarray, meta: Meta) -> Dict:
     sp = meta.spec.ppm
     S = completed.shape[0]
     NO = len(sp.orders)
-    h, rows = _ppm_rows(stm, stm["ctx"], meta)
+    h, rows, my_tag, old_tag, tag_ok = _ppm_rows(stm, stm["ctx"], meta)
     rows_f = rows.astype(F32)
     see = stm["ppm_see"]
     mrow, total, has, esc, bucket_oh, _ = _ppm_cascade(rows_f, see, sp)
@@ -267,10 +284,17 @@ def _ppm_update(stm: Dict, completed: jnp.ndarray, meta: Meta) -> Dict:
     )
     tot_i = jnp.sum(rows_i, axis=2)
     rows_i = jnp.where((tot_i > sp.rescale_total)[:, :, None], (rows_i + 1) >> 1, rows_i)
-    tbl = stm["ppm_tbl"].at[jnp.arange(S)[:, None], h].set(
-        rows_i.astype(jnp.uint16), unique_indices=True
+    # updated rows are (re)claimed for this context's tag; untouched rows keep
+    # their owner's counts and tag (`rows` already reads 0 on tag mismatch, so
+    # a reclaimed row starts from just the observed byte)
+    s_ix = jnp.arange(S)[:, None]
+    rows_w = jnp.where(
+        inc_on[:, :, None], rows_i.astype(jnp.uint16), stm["ppm_tbl"][s_ix, h]
     )
-    return _set(stm, ppm_tbl=tbl, ppm_see=see)
+    tag_w = jnp.where(inc_on, my_tag, old_tag)
+    tbl = stm["ppm_tbl"].at[s_ix, h].set(rows_w, unique_indices=True)
+    tags = stm["ppm_tag"].at[s_ix, h].set(tag_w, unique_indices=True)
+    return _set(stm, ppm_tbl=tbl, ppm_tag=tags, ppm_see=see)
 
 
 def _ppm_predict(stm: Dict, meta: Meta) -> Dict:
@@ -280,7 +304,7 @@ def _ppm_predict(stm: Dict, meta: Meta) -> Dict:
     sp = meta.spec.ppm
     S = stm["bits_seen"].shape[0]
     NO = len(sp.orders)
-    _, rows = _ppm_rows(stm, stm["ctx"], meta)
+    _, rows, _, _, _ = _ppm_rows(stm, stm["ctx"], meta)
     rows_f = rows.astype(F32)
     mrow, total, has, esc, _, excl = _ppm_cascade(rows_f, stm["ppm_see"], sp)
 
@@ -532,6 +556,16 @@ _RM_NEXT = run_map_table()
 _CHECK_MASKS = np.array([1, 128, 64, 32, 16, 8, 4, 2], np.uint32)
 _PRED_MASKS = np.array([128, 64, 32, 16, 8, 4, 2, 1], np.uint32)
 
+# coder window: per byte the coder consumes/emits at most 32 renorm bytes
+# (4 per bit) + a 4-byte decoder lookahead; the window is read from / written
+# to code_buf ONCE per byte, and the per-bit accesses are register one-hots.
+_CODER_WIN = 40
+
+# Experimental perf switch (identical numerics): route the per-bit indirect /
+# match table accesses through element gathers/scatters instead of dense
+# one-hot select+reduce. Default one-hot (measured faster on TPU so far).
+_USE_GATHER = os.environ.get("GMIX_IND_GATHER", "0") == "1"
+
 
 def _tri_solve(Lmat: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Solve y = d + L_strict @ y, i.e. (I - tril(L, -1)) y = d, batched.
@@ -623,10 +657,19 @@ def _byte_step(
 
     # ---- gather the per-byte working sets (byte-stable gating contexts) ----
     ctx_byte = stm["ctx"]
+    ind_ctx_vals = ctx_byte[:, jnp.asarray(meta.ind_ctx_slots)]  # (S, M)
     # indirect blocks: (ns | rm<<8) pairs, one 256-lane block per model
     blk_ix = _iar(
-        ctx_byte[:, jnp.asarray(meta.ind_ctx_slots)] & jnp.asarray(meta.ind_blk_masks)[None, :]
+        ind_ctx_vals & jnp.asarray(meta.ind_blk_masks)[None, :]
     ) + jnp.asarray(meta.ind_blk_offsets)[None, :]  # (S, M)
+    # hash-derived lane rotation: lane = (bit_ctx + rot) & 255 with rot taken
+    # from hash bits above the block index. Two contexts colliding on a block
+    # then overlap in a DERANGED lane mapping instead of lane-for-lane - the
+    # TPU-native equivalent of the reference's (1<<tb)*256+1 table size, whose
+    # non-power-of-2 modulus breaks byte-context collision alignment
+    # (indirect.cpp:15-19). Contexts narrower than 2^16 (raw byte contexts)
+    # get rot=0, keeping their exact tables exact.
+    ind_rot = (ind_ctx_vals >> U32(16)) & U32(255)  # (S, M)
     ind_blk = ltm["ind"]["st"][s_ix, blk_ix]  # (S, M, 256) u16
     p_tbl = ltm["ind"]["p"]  # (S, 2M, 256)
     # byte-stable mixer rows
@@ -642,6 +685,21 @@ def _byte_step(
     if spec.matches:
         mt_pred, mt_cnt = ltm["match_pred"], ltm["match_cnt"]
 
+    # ---- coder byte-window: ONE gather per byte for the decoder's input
+    # bytes, ONE scatter per byte for the encoder's renorm output; the per-bit
+    # accesses work on these registers (max 32 renorm bytes + 4 lookahead per
+    # byte; see _CODER_WIN) ----
+    cap_total = code_buf.shape[1]
+    rpos0 = coder["rpos"]
+    wpos0 = coder["wpos"]
+    win_lanes = U32(np.arange(_CODER_WIN))
+    look = _iar(rpos0[:, None] + win_lanes[None, :])
+    win_r = jnp.where(
+        look < cap_total,
+        code_buf[s_ix, jnp.minimum(look, cap_total - 1)].astype(U32),
+        U32(0),
+    )  # (S, WIN); EOF reads 0
+
     # ---- 8 bit sub-steps: ONE body, two instantiations ----
     # j is either a python int (TPU: statically unrolled, j-dependent selects
     # fold away) or a traced uint32 (CPU/tests: lax.scan over the 8 bits — an
@@ -651,7 +709,8 @@ def _byte_step(
         "stm": stm,
         "coder": coder,
         "metrics": metrics,
-        "code_buf": code_buf,
+        "win_w": jnp.zeros((S, _CODER_WIN), U32),
+        "bitregs": jnp.zeros((S, 4), U32),
         "ind_blk": ind_blk,
         "p_tbl": p_tbl,
         "rows_stable": rows_stable,
@@ -663,9 +722,8 @@ def _byte_step(
 
     def sub_step(carry, j):
         static_j = isinstance(j, int)
-        stm, coder, metrics, code_buf = (
-            carry["stm"], carry["coder"], carry["metrics"], carry["code_buf"],
-        )
+        stm, coder, metrics = carry["stm"], carry["coder"], carry["metrics"]
+        win_w = carry["win_w"]
         ind_blk, p_tbl, rows_stable = (
             carry["ind_blk"], carry["p_tbl"], carry["rows_stable"],
         )
@@ -674,7 +732,6 @@ def _byte_step(
             mt_pred, mt_cnt = carry["mt_pred"], carry["mt_cnt"]
         j_u = U32(j) if static_j else j.astype(U32)
 
-        ctx = stm["ctx"]
         acc = stm["acc"]
         # bits_seen counts every bit except the very first (basic-contexts.cpp:23-28);
         # it doubles as the per-mixer steps_ counter (equal by construction).
@@ -685,36 +742,39 @@ def _byte_step(
         bits_seen = stm["bits_seen"] + inc
         bit_ctx = ((U32(1) << j_u) + acc) - U32(1)  # recent_bits - 1
         last_byte = stm["last_byte"]
-        ctx = ctx.at[:, jnp.asarray(meta.bit_ctx_cols)].set(
-            jnp.stack(
-                [
-                    bit_ctx,
-                    (last_byte << U32(8)) + bit_ctx,
-                    (stm["recent"][:, 1] << U32(8)) + bit_ctx,
-                ],
-                axis=1,
-            )
-        )
+        # the 4 bit-varying context values live in registers; the ctx array
+        # only gets their FINAL values once per byte (checkpoint consistency)
+        lb_ctx = (last_byte << U32(8)) + bit_ctx
+        slb_ctx = (stm["recent"][:, 1] << U32(8)) + bit_ctx
 
         # ---- indirect models: dense one-hot reads of the per-byte blocks
-        # (indirect.cpp:28-45); bit_ctx selects the lane within each block.
+        # (indirect.cpp:28-45); (bit_ctx + rot) & 255 selects the lane within
+        # each block (rotation rationale at the blk gather above).
         # (These small fused reductions are kernel-overhead-bound, not
-        # traffic-bound — slicing to the static [2^j-1, 2^(j+1)-1) lane range
-        # bit_ctx lives in was measured slower, it just added kernels.) ----
-        eq_lane = lane_u == bit_ctx[:, None, None]  # (S, 1, 256)
-        pair = jnp.sum(
-            jnp.where(eq_lane, ind_blk, jnp.uint16(0)).astype(I32), axis=2
-        )  # (S, M): ns | rm<<8
+        # traffic-bound — slicing to a static lane range was measured slower,
+        # it just added kernels.) ----
+        lane_sel = (bit_ctx[:, None] + ind_rot) & U32(255)  # (S, M)
+        if _USE_GATHER:
+            pair = jnp.take_along_axis(
+                ind_blk, _iar(lane_sel)[:, :, None], axis=2
+            )[:, :, 0].astype(I32)
+        else:
+            eq_lane = lane_u == lane_sel[:, :, None]  # (S, M, 256)
+            pair = jnp.sum(
+                jnp.where(eq_lane, ind_blk, jnp.uint16(0)).astype(I32), axis=2
+            )  # (S, M): ns | rm<<8
         ns_raw, rm_raw = pair & 255, pair >> 8
-        st_raw = jnp.concatenate([ns_raw, rm_raw], axis=1)  # (S, 2M)
         active_ind = jnp.concatenate(
             [ns_raw != 255, rm_raw != 0], axis=1
         )  # ns: 255 = unseen; rm: 0 = unseen
         # ns state 255 (unseen) predicts/learns/advances from slot 0
         # (indirect.cpp:49-51); its prediction is masked inactive anyway.
         st_eff = jnp.concatenate([jnp.where(ns_raw == 255, 0, ns_raw), rm_raw], axis=1)
-        eq_state = lane_i == st_eff[:, :, None]  # (S, 2M, 256)
-        p_cur = jnp.sum(jnp.where(eq_state, p_tbl, F32(0.0)), axis=2)
+        if _USE_GATHER:
+            p_cur = jnp.take_along_axis(p_tbl, st_eff[:, :, None], axis=2)[:, :, 0]
+        else:
+            eq_state = lane_i == st_eff[:, :, None]  # (S, 2M, 256)
+            p_cur = jnp.sum(jnp.where(eq_state, p_tbl, F32(0.0)), axis=2)
         ind_preds = jnp.where(active_ind, p_cur, F32(0.0))  # (S, 2M) [ns | rm]
         # interleave to the prediction-column order [ns0, rm0, ns1, rm1, ...]
         ind_pair = jnp.stack([ind_preds[:, :M], ind_preds[:, M:]], axis=2).reshape(S, 2 * M)
@@ -743,12 +803,14 @@ def _byte_step(
             mlen = stm["match_len"]
             mbyte = stm["match_byte"]
             active = mlen > 2
-            eq_len = lane_i == mlen[:, :, None]  # (S, NM, 256)
-            mp = jnp.sum(jnp.where(eq_len, mt_pred, F32(0.0)), axis=2)
+            if _USE_GATHER:
+                mp = jnp.take_along_axis(mt_pred, mlen[:, :, None], axis=2)[:, :, 0]
+            else:
+                eq_len = lane_i == mlen[:, :, None]  # (S, NM, 256)
+                mp = jnp.sum(jnp.where(eq_len, mt_pred, F32(0.0)), axis=2)
             p_prob = jnp.where((mbyte & pred_mask) != 0, mp, F32(1.0) - mp)
             match_preds = jnp.where(active, logit(p_prob), F32(0.0))
             longest = jnp.max((mlen // 32).astype(U32), axis=1)  # match.cpp:71-73
-            ctx = ctx.at[:, meta.slots["longest_match"]].set(longest)
         else:
             match_preds = jnp.zeros((S, 0), F32)
             longest = jnp.zeros((S,), U32)
@@ -777,14 +839,15 @@ def _byte_step(
         # ---- mixers (mixer.cpp:51-106): byte-stable rows from registers,
         # bit-varying rows gathered per sub-step; nilpotent-doubling solves
         # for the in-layer chains, then the final unit ----
-        stm = _set(stm, ctx=ctx, bits_seen=bits_seen)
+        stm = _set(stm, bits_seen=bits_seen)
+        bitregs = jnp.stack([bit_ctx, lb_ctx, slb_ctx, longest], axis=1)  # (S, 4)
         skip_preds = (
             preds[:, jnp.asarray(np.array(spec.skip_connection_cols, np.int32))]
             if nskip
             else jnp.zeros((S, 0), F32)
         )
         if len(meta.mix_vary_ix):
-            cv_v = ctx[:, jnp.asarray(meta.mix_ctx_slots[meta.mix_vary_ix])]
+            cv_v = bitregs[:, jnp.asarray(meta.mix_vary_src)]
             rowix_v = _iar(
                 cv_v & jnp.asarray(meta.mix_masks[meta.mix_vary_ix])[None, :]
             ) + jnp.asarray(meta.mix_offsets[meta.mix_vary_ix])[None, :]
@@ -827,21 +890,26 @@ def _byte_step(
                 jax.lax.dynamic_index_in_dim(sample_u, _iar(j_u), 0, keepdims=False)
             )
             enc_bit = (u_j < p_temp).astype(U32)
+        # per-bit coder IO works on the byte-window registers (win_r read-only
+        # closure, win_w carried); code_buf itself is touched once per byte
         rpos = coder["rpos"]
-        look_ix = _iar(rpos[:, None] + U32(np.arange(4))[None, :])
-        in_bytes = code_buf[s_ix, jnp.minimum(look_ix, code_buf.shape[1] - 1)].astype(U32)
-        in_bytes = jnp.where(look_ix < code_buf.shape[1], in_bytes, U32(0))  # EOF reads 0
+        k4 = U32(np.arange(4))[None, :]
+        off_r = (rpos - rpos0)[:, None] + k4  # (S, 4) lane offsets, < _CODER_WIN
+        sel_r = off_r[:, :, None] == win_lanes[None, None, :]  # (S, 4, WIN)
+        in_bytes = jnp.sum(jnp.where(sel_r, win_r[:, None, :], U32(0)), axis=2)
         cst = coder_ops.CoderState(coder["x1"], coder["x2"], coder["x"])
         bit, cst, emits, nrenorm = coder_ops.coder_bit(
             cst, coder_ops.discretize(prob), enc_bit, in_bytes, decode
         )
-        # encoder writes; decoder only advances its read cursor
+        # encoder accumulates renorm bytes into the window; decoder only
+        # advances its read cursor. Each window lane is written at most once
+        # per byte (wpos strictly advances), so add-accumulate is exact.
         wpos = coder["wpos"]
-        w_ix = wpos[:, None] + U32(np.arange(4))[None, :]
-        valid = (U32(np.arange(4))[None, :] < nrenorm.astype(U32)[:, None]) & jnp.logical_not(decode)
-        w_ix = jnp.where(valid, w_ix, U32(code_buf.shape[1]))  # OOB -> dropped
-        code_buf = code_buf.at[s_ix, _iar(w_ix)].set(
-            emits.astype(code_buf.dtype), mode="drop"
+        valid = (k4 < nrenorm.astype(U32)[:, None]) & jnp.logical_not(decode)
+        off_w = (wpos - wpos0)[:, None] + k4
+        sel_w = off_w[:, :, None] == win_lanes[None, None, :]
+        win_w = win_w + jnp.sum(
+            jnp.where(sel_w & valid[:, :, None], emits[:, :, None], U32(0)), axis=1
         )
         coder = {
             "x1": cst.x1,
@@ -849,23 +917,18 @@ def _byte_step(
             "x": cst.x,
             "wpos": wpos + jnp.where(decode, U32(0), nrenorm.astype(U32)),
             "rpos": rpos + jnp.where(decode, nrenorm.astype(U32), U32(0)),
-            # sticky: any dropped (out-of-capacity) encoder write sets it
-            "ovf": coder["ovf"]
-            | jnp.where(
-                jnp.logical_not(decode)
-                & (wpos + nrenorm.astype(U32) > U32(code_buf.shape[1])),
-                U32(1),
-                U32(0),
-            ),
+            "ovf": coder["ovf"],  # updated once per byte at the window flush
         }
 
         # cumulative cross-entropy metric (bits) (runner.cpp:96-101)
         p_bit = jnp.where(bit == 1, prob, F32(1.0) - prob)
         metrics = _set(metrics, ent=metrics["ent"] - jnp.log2(p_bit))
         # per-column analysis EMA over model predictions, L0/L1 mixer outputs
-        # and the final output (UpdateEntropy alpha=1e-5, predictor.cpp:439-469)
+        # and the final output (UpdateEntropy alpha=1e-5, predictor.cpp:439-469;
+        # the reference clamps the METRIC's probability at eps=0.01, :458-462 -
+        # matched here so EMAs are directly comparable to its entropy.tsv)
         col_logits = jnp.concatenate([preds, y0, y1, final_logit[:, None]], axis=1)
-        p_cols = clamp_prob(logistic(col_logits))
+        p_cols = jnp.clip(logistic(col_logits), F32(0.01), F32(0.99))
         pb_cols = jnp.where((bit == 1)[:, None], p_cols, F32(1.0) - p_cols)
         metrics = _set(
             metrics,
@@ -876,30 +939,51 @@ def _byte_step(
         cur_byte = (acc << U32(1)) | bit  # completed byte value at j == 7
 
         if learn:
-            # indirect Learn (indirect.cpp:47-70): dense one-hot updates of
-            # the in-register block + the (small) shared state->logit table
+            # indirect Learn (indirect.cpp:47-70): updates of the in-register
+            # block + the (small) shared state->logit table
             delta = (bitf[:, None] - logistic(p_cur)) * jnp.asarray(meta.ind_lrs)[None, :]
-            p_tbl = p_tbl + jnp.where(eq_state, delta[:, :, None], F32(0.0))
             # state advance: ns half via the nonstationary table, rm half via
             # the run-map table (256x2 -> flattened 512-entry next tables)
             new_ns = jnp.take(ns_next, st_eff[:, :M] * 2 + _iar(bit)[:, None])
             new_rm = jnp.take(rm_next, st_eff[:, M:] * 2 + _iar(bit)[:, None])
             new_pair = (new_ns | (new_rm << 8)).astype(jnp.uint16)  # (S, M)
-            ind_blk = jnp.where(eq_lane, new_pair[:, :, None], ind_blk)
+            if _USE_GATHER:
+                sm_ix = jnp.arange(2 * M)[None, :]
+                p_tbl = p_tbl.at[
+                    jnp.arange(S)[:, None], sm_ix, st_eff
+                ].set(p_cur + delta, unique_indices=True)
+                ind_blk = ind_blk.at[s_ix, jnp.arange(M)[None, :], _iar(lane_sel)].set(
+                    new_pair, unique_indices=True
+                )
+            else:
+                p_tbl = p_tbl + jnp.where(eq_state, delta[:, :, None], F32(0.0))
+                ind_blk = jnp.where(eq_lane, new_pair[:, :, None], ind_blk)
 
             # match per-bit Learn (match.cpp:79-90)
             if spec.matches:
                 hit2 = (bit[:, None] == ((mbyte & pred_mask) != 0).astype(U32)).astype(F32)
-                cnt = jnp.sum(jnp.where(eq_len, mt_cnt, 0), axis=2)
+                if _USE_GATHER:
+                    cnt = jnp.take_along_axis(mt_cnt, mlen[:, :, None], axis=2)[:, :, 0]
+                else:
+                    cnt = jnp.sum(jnp.where(eq_len, mt_cnt, 0), axis=2)
                 limits = jnp.asarray(meta.match_limits)[None, :]
                 grow = cnt < limits
                 cnt_new = jnp.where(grow, cnt + 1, cnt)
                 lr = F32(1.0) / jnp.where(grow, cnt_new, limits).astype(F32)
                 mp_new = mp + (hit2 - mp) * lr
                 upd_on = mlen > 2  # only matched rows learn (match.cpp:79)
-                upd_mask = eq_len & upd_on[:, :, None]
-                mt_pred = jnp.where(upd_mask, mp_new[:, :, None], mt_pred)
-                mt_cnt = jnp.where(upd_mask, cnt_new[:, :, None], mt_cnt)
+                if _USE_GATHER:
+                    nm_ix = jnp.arange(mlen.shape[1])[None, :]
+                    mt_pred = mt_pred.at[s_ix, nm_ix, mlen].set(
+                        jnp.where(upd_on, mp_new, mp), unique_indices=True
+                    )
+                    mt_cnt = mt_cnt.at[s_ix, nm_ix, mlen].set(
+                        jnp.where(upd_on, cnt_new, cnt), unique_indices=True
+                    )
+                else:
+                    upd_mask = eq_len & upd_on[:, :, None]
+                    mt_pred = jnp.where(upd_mask, mp_new[:, :, None], mt_pred)
+                    mt_cnt = jnp.where(upd_mask, cnt_new[:, :, None], mt_cnt)
 
             # mixer Learn (mixer.cpp:108-176): in-register row updates;
             # only the bit-varying rows scatter per sub-step
@@ -941,7 +1025,8 @@ def _byte_step(
             "stm": stm,
             "coder": coder,
             "metrics": metrics,
-            "code_buf": code_buf,
+            "win_w": win_w,
+            "bitregs": bitregs,
             "ind_blk": ind_blk,
             "p_tbl": p_tbl,
             "rows_stable": rows_stable,
@@ -961,18 +1046,38 @@ def _byte_step(
     else:
         for j in range(8):
             carry = sub_step(carry, j)
-    stm, coder, metrics, code_buf = (
-        carry["stm"], carry["coder"], carry["metrics"], carry["code_buf"],
-    )
+    stm, coder, metrics = carry["stm"], carry["coder"], carry["metrics"]
     ind_blk, p_tbl, rows_stable = carry["ind_blk"], carry["p_tbl"], carry["rows_stable"]
     mix_w, max_steps = carry["mix_w"], carry["max_steps"]
     if spec.matches:
         mt_pred, mt_cnt = carry["mt_pred"], carry["mt_cnt"]
     cur_byte = stm["acc"]  # all 8 bits accumulated = the completed byte
-    longest = (
-        stm["ctx"][:, meta.slots["longest_match"]]
-        if spec.matches
-        else jnp.zeros((S,), U32)
+    bitregs = carry["bitregs"]
+    longest = bitregs[:, 3]
+
+    # ---- coder window flush: ONE scatter per byte (encode), sticky overflow
+    # check once per byte ----
+    nwritten = coder["wpos"] - wpos0  # (S,)
+    lane_ok = (win_lanes[None, :] < nwritten[:, None]) & jnp.logical_not(decode)
+    w_ix = jnp.where(lane_ok, wpos0[:, None] + win_lanes[None, :], U32(cap_total))
+    code_buf = code_buf.at[s_ix, _iar(w_ix)].set(
+        carry["win_w"].astype(code_buf.dtype), mode="drop"
+    )
+    coder = _set(
+        coder,
+        ovf=coder["ovf"]
+        | jnp.where(
+            jnp.logical_not(decode) & (wpos0 + nwritten > U32(cap_total)),
+            U32(1),
+            U32(0),
+        ),
+    )
+
+    # ---- final per-bit context values -> ctx array (checkpoint consistency:
+    # the serialized ctx at a byte boundary equals what the last sub-step saw)
+    stm = _set(
+        stm,
+        ctx=stm["ctx"].at[:, jnp.asarray(meta.bitreg_ctx_cols)].set(bitregs),
     )
 
     # ---- byte end: scatter the per-byte working sets back, history append,

@@ -80,7 +80,7 @@ def _scalar_update(rows, see, sp, c):
     return new, see
 
 
-def _device_ppm_fixture(seed=0):
+def _device_ppm_fixture(seed=0, matching_tags=True):
     spec = g.tiny_spec(with_lstm=True)
     meta = build_meta(spec)
     S = 2
@@ -92,10 +92,20 @@ def _device_ppm_fixture(seed=0):
         rng.binomial(1, 0.1, (S, meta.ppm_total_rows, 256)).astype(np.uint16)
         * rng.randint(1, 300, (S, meta.ppm_total_rows, 256)).astype(np.uint16)
     )
-    stm["ctx"] = jnp.asarray(rng.randint(0, 2**31, (S, meta.n_ctx)).astype(np.uint32))
+    ctx = rng.randint(0, 2**31, (S, meta.n_ctx)).astype(np.uint32)
+    stm["ctx"] = jnp.asarray(ctx)
     stm["ppm_see"] = jnp.asarray(
         rng.normal(scale=0.3, size=stm["ppm_see"].shape).astype(np.float32)
     )
+    if matching_tags:
+        # rows owned by the current contexts (tag-verified hashing): give each
+        # addressed row its context's tag so the rows read as live
+        cv = ctx[:, meta.ppm_slots]
+        h = (cv & meta.ppm_masks[None, :]).astype(np.int64) + meta.ppm_row_offsets[None, :]
+        tags = np.zeros((S, meta.ppm_total_rows), np.uint8)
+        for s in range(S):
+            tags[s, h[s]] = ((cv[s] >> 24) & 255).astype(np.uint8)
+        stm["ppm_tag"] = jnp.asarray(tags)
     return spec, meta, stm
 
 
@@ -148,6 +158,33 @@ def test_ppm_exclusion_flags_change_behavior():
         jax.jit(lambda s: _ppm_predict(s, meta_off))(stm)["ppm_probs"]
     )
     assert not np.allclose(p_on, p_off)
+
+
+def test_ppm_tag_collision_reads_empty_and_reclaims():
+    """Tag-verified rows: a colliding context (different tag) must read the
+    row as EMPTY (uniform prediction contribution), and updating through it
+    must reclaim the row - new tag, counts reset to just the observed byte."""
+    spec, meta, stm = _device_ppm_fixture(seed=3, matching_tags=False)
+    sp = spec.ppm
+    # all tags are 0 but the random contexts' high bytes are ~never 0, so
+    # every row is a collision: prediction must be exactly uniform
+    out = jax.jit(lambda s: _ppm_predict(s, meta))(stm)
+    np.testing.assert_allclose(
+        np.asarray(out["ppm_probs"]), np.full((2, 256), 1.0 / 256), rtol=1e-6
+    )
+    # update with byte 77: rows at the addressed indices must be reclaimed
+    h = np.asarray(_ppm_rows(stm, stm["ctx"], meta)[0])
+    completed = jnp.asarray(np.array([77, 200], np.uint32))
+    upd = jax.jit(lambda s, c: _ppm_update(s, c, meta))(stm, completed)
+    cv = np.asarray(stm["ctx"])[:, meta.ppm_slots]
+    want_tag = ((cv >> 24) & 255).astype(np.uint8)
+    for s, c in ((0, 77), (1, 200)):
+        got_rows = np.asarray(upd["ppm_tbl"])[s][h[s]]
+        got_tags = np.asarray(upd["ppm_tag"])[s][h[s]]
+        np.testing.assert_array_equal(got_tags, want_tag[s])
+        want = np.zeros((len(sp.orders), 256), np.uint16)
+        want[:, c] = sp.inc
+        np.testing.assert_array_equal(got_rows, want)
 
 
 def test_roll_hash_invariant():
