@@ -57,6 +57,33 @@ def _old_ppm():
 def make_variant(name: str):
     from gmix_tpu.config import reference_spec, scale_tables
 
+    if name.startswith("boost"):
+        # boost-<ind_add>-<ppm_bits>x<S>: reference wiring with indirect
+        # tables raised by ind_add bits (cap 18) and hashed PPM orders raised
+        # to ppm_bits - the ">= reference quality" configs (output-size
+        # parity is the goal, not table-size parity)
+        body = name.split("-", 1)[1]
+        ind_add, rest = body.split("-")
+        ppm_bits, S = rest.split("x")
+        spec = reference_spec()
+        spec = dataclasses.replace(
+            spec,
+            indirects=tuple(
+                dataclasses.replace(m, table_bits=min(m.table_bits + int(ind_add), 18))
+                for m in spec.indirects
+            ),
+            ppm=dataclasses.replace(
+                spec.ppm,
+                orders=tuple(
+                    dataclasses.replace(o, table_bits=int(ppm_bits))
+                    if o.table_bits >= 16
+                    else o
+                    for o in spec.ppm.orders
+                ),
+            ),
+        )
+        spec.validate()
+        return spec, int(S)
     if name.startswith("ref"):
         parts = name.split("-")
         S = int(parts[1][1:])  # xN
