@@ -57,6 +57,7 @@ import numpy as np
 
 from ..config import EnsembleSpec
 from ..ops import coder as coder_ops
+from ..ops.rowmove import gather_rows, scatter_rows
 from ..ops.murmur import murmur3_u32, murmur3_u64
 from ..ops.sigmoid import clamp_prob, logistic, logit
 from ..ops.tables import nonstationary_table, run_map_table
@@ -192,12 +193,12 @@ def _ppm_rows(stm: Dict, ctx: jnp.ndarray, meta: Meta):
     h = _iar(cv & jnp.asarray(meta.ppm_masks)[None, :])
     h = h + jnp.asarray(meta.ppm_row_offsets)[None, :]
     s_ix = jnp.arange(S)[:, None]
-    rows = stm["ppm_tbl"][s_ix, h]
+    raw_rows = gather_rows(stm["ppm_tbl"], h)
     my_tag = ((cv >> U32(24)) & U32(255)).astype(jnp.uint8)
     old_tag = stm["ppm_tag"][s_ix, h]
     tag_ok = my_tag == old_tag
-    rows = jnp.where(tag_ok[:, :, None], rows, jnp.uint16(0))
-    return h, rows, my_tag, old_tag, tag_ok
+    rows = jnp.where(tag_ok[:, :, None], raw_rows, jnp.uint16(0))
+    return h, rows, my_tag, old_tag, tag_ok, raw_rows
 
 
 def _ppm_cascade(rows_f: jnp.ndarray, see: jnp.ndarray, sp):
@@ -246,7 +247,7 @@ def _ppm_update(stm: Dict, completed: jnp.ndarray, meta: Meta) -> Dict:
     sp = meta.spec.ppm
     S = completed.shape[0]
     NO = len(sp.orders)
-    h, rows, my_tag, old_tag, tag_ok = _ppm_rows(stm, stm["ctx"], meta)
+    h, rows, my_tag, old_tag, tag_ok, raw_rows = _ppm_rows(stm, stm["ctx"], meta)
     rows_f = rows.astype(F32)
     see = stm["ppm_see"]
     mrow, total, has, esc, bucket_oh, _ = _ppm_cascade(rows_f, see, sp)
@@ -288,11 +289,9 @@ def _ppm_update(stm: Dict, completed: jnp.ndarray, meta: Meta) -> Dict:
     # their owner's counts and tag (`rows` already reads 0 on tag mismatch, so
     # a reclaimed row starts from just the observed byte)
     s_ix = jnp.arange(S)[:, None]
-    rows_w = jnp.where(
-        inc_on[:, :, None], rows_i.astype(jnp.uint16), stm["ppm_tbl"][s_ix, h]
-    )
+    rows_w = jnp.where(inc_on[:, :, None], rows_i.astype(jnp.uint16), raw_rows)
     tag_w = jnp.where(inc_on, my_tag, old_tag)
-    tbl = stm["ppm_tbl"].at[s_ix, h].set(rows_w, unique_indices=True)
+    tbl = scatter_rows(stm["ppm_tbl"], h, rows_w)
     tags = stm["ppm_tag"].at[s_ix, h].set(tag_w, unique_indices=True)
     return _set(stm, ppm_tbl=tbl, ppm_tag=tags, ppm_see=see)
 
@@ -304,7 +303,7 @@ def _ppm_predict(stm: Dict, meta: Meta) -> Dict:
     sp = meta.spec.ppm
     S = stm["bits_seen"].shape[0]
     NO = len(sp.orders)
-    _, rows, _, _, _ = _ppm_rows(stm, stm["ctx"], meta)
+    _, rows, _, _, _, _ = _ppm_rows(stm, stm["ctx"], meta)
     rows_f = rows.astype(F32)
     mrow, total, has, esc, _, excl = _ppm_cascade(rows_f, stm["ppm_see"], sp)
 
@@ -670,7 +669,7 @@ def _byte_step(
     # (indirect.cpp:15-19). Contexts narrower than 2^16 (raw byte contexts)
     # get rot=0, keeping their exact tables exact.
     ind_rot = (ind_ctx_vals >> U32(16)) & U32(255)  # (S, M)
-    ind_blk = ltm["ind"]["st"][s_ix, blk_ix]  # (S, M, 256) u16
+    ind_blk = gather_rows(ltm["ind"]["st"], blk_ix)  # (S, M, 256) u16
     p_tbl = ltm["ind"]["p"]  # (S, 2M, 256)
     # byte-stable mixer rows
     stable_ix = jnp.asarray(meta.mix_stable_ix)
@@ -679,7 +678,7 @@ def _byte_step(
         ctx_byte[:, jnp.asarray(meta.mix_ctx_slots[meta.mix_stable_ix])]
         & jnp.asarray(meta.mix_masks[meta.mix_stable_ix])[None, :]
     ) + jnp.asarray(meta.mix_offsets[meta.mix_stable_ix])[None, :]
-    rows_stable = ltm["mix_w"][s_ix, rowix_st]  # (S, Kst, WP)
+    rows_stable = gather_rows(ltm["mix_w"], rowix_st)  # (S, Kst, WP)
     mix_w = ltm["mix_w"]
     max_steps = ltm["mix_max_steps"]
     if spec.matches:
@@ -851,7 +850,7 @@ def _byte_step(
             rowix_v = _iar(
                 cv_v & jnp.asarray(meta.mix_masks[meta.mix_vary_ix])[None, :]
             ) + jnp.asarray(meta.mix_offsets[meta.mix_vary_ix])[None, :]
-            rows_vary = mix_w[s_ix, rowix_v]  # (S, Kv, WP)
+            rows_vary = gather_rows(mix_w, rowix_v)  # (S, Kv, WP)
             rows = jnp.concatenate([rows_stable, rows_vary], axis=1)[
                 :, jnp.asarray(meta.mix_perm)
             ]  # (S, K, WP) in k-order
@@ -1013,9 +1012,7 @@ def _byte_step(
             w_new = w_new.at[:, :, SL].set(jax.lax.bitcast_convert_type(steps_new, F32))
             rows_stable = w_new[:, stable_ix]  # carried to the next sub-step
             if len(meta.mix_vary_ix):
-                mix_w = mix_w.at[s_ix, rowix_v].set(
-                    w_new[:, vary_ix], unique_indices=True
-                )
+                mix_w = scatter_rows(mix_w, rowix_v, w_new[:, vary_ix])
             max_steps = jnp.maximum(max_steps, steps_new)
 
         # advance bit registers
@@ -1086,10 +1083,10 @@ def _byte_step(
         ltm = _set(
             ltm,
             ind={
-                "st": ltm["ind"]["st"].at[s_ix, blk_ix].set(ind_blk, unique_indices=True),
+                "st": scatter_rows(ltm["ind"]["st"], blk_ix, ind_blk),
                 "p": p_tbl,
             },
-            mix_w=mix_w.at[s_ix, rowix_st].set(rows_stable, unique_indices=True),
+            mix_w=scatter_rows(mix_w, rowix_st, rows_stable),
             mix_max_steps=max_steps,
         )
         if spec.matches:

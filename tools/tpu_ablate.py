@@ -19,7 +19,8 @@ from gmix_tpu.core.codec import Predictor
 
 
 def variant(name):
-    s = scale_tables(reference_spec(), 8, history_bits=12)
+    bits = int(os.environ.get("GMIX_ABLATE_BITS", 8))
+    s = scale_tables(reference_spec(), bits, history_bits=min(24, bits + 4))
     if name == "full":
         return s
     if name == "nolstm":
@@ -74,7 +75,7 @@ def variant(name):
     raise ValueError(name)
 
 
-def run(name, streams, chunk=256):
+def run(name, streams, chunk=int(os.environ.get("GMIX_ABLATE_CHUNK", 256))):
     spec = variant(name)
     pred = Predictor(spec, streams)
     data = np.random.default_rng(0).integers(0, 256, (streams, chunk * 4), np.uint8)
