@@ -33,7 +33,10 @@ MAGIC = b"GXTC"
 # v2: indirect lane rotation + tag-verified PPM rows changed the model
 # evolution, so v1 archives would decode to garbage - the version gate turns
 # that into a clean error
-VERSION = 2
+# v3: deferred per-bit table writes (core/step.py) change float rounding of
+# the state->logit and match-table updates (p+(d1+d2) vs (p+d1)+d2), so v2
+# archives are not bit-compatible
+VERSION = 3
 # worst-case output bytes per input byte (4 renorm bytes * 8 bits + slack)
 _WORST_PER_BYTE = 33
 
@@ -71,9 +74,9 @@ class Predictor:
     def _axis(self) -> str:
         return self.sharding.spec[0]
 
-    def chunk_fn(self, n: int, learn: bool = True):
+    def chunk_fn(self, n: int, learn: bool = True, analysis: bool = True):
         if self.sharding is None:
-            return get_chunk_fn(self.spec, n, learn)
+            return get_chunk_fn(self.spec, n, learn, analysis)
         # sharded execution must go through shard_map (see
         # parallel.mesh.make_sharded_chunk_fn for why plain jit is wrong)
         key = ("chunk", n, learn)

@@ -560,10 +560,6 @@ _PRED_MASKS = np.array([128, 64, 32, 16, 8, 4, 2, 1], np.uint32)
 # to code_buf ONCE per byte, and the per-bit accesses are register one-hots.
 _CODER_WIN = 40
 
-# Experimental perf switch (identical numerics): route the per-bit indirect /
-# match table accesses through element gathers/scatters instead of dense
-# one-hot select+reduce. Default one-hot (measured faster on TPU so far).
-_USE_GATHER = os.environ.get("GMIX_IND_GATHER", "0") == "1"
 
 
 def _tri_solve(Lmat: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
@@ -606,6 +602,7 @@ def _byte_step(
     sample_u=None,
     inv_temp=None,
     bit_scan: bool = False,
+    analysis: bool = True,
 ):
     """One byte: boundary work, 8 bit sub-steps, byte-end learn.
 
@@ -704,32 +701,62 @@ def _byte_step(
     # fold away) or a traced uint32 (CPU/tests: lax.scan over the 8 bits — an
     # ~8x smaller HLO graph, which is what makes cold-cache CPU compiles of
     # the full byte step feasible on small hosts).
+    #
+    # DEFERRED TABLE WRITES: the per-bit updates of the (S, *, 256) working
+    # sets (indirect blocks, state->logit tables, match tables) are NOT
+    # applied per bit — a full dense rewrite of those arrays 8x per byte was
+    # ~190us/byte of pure HBM traffic at S=64. Instead each bit records
+    # (slot, delta) into an (S, *, 8) stack; reads are corrected in registers
+    # against earlier same-slot deltas (for the indirect blocks not even
+    # that: each bit touches a provably distinct lane, since bit_ctx values
+    # of the 8 sub-steps are disjoint); the stacks are applied to the arrays
+    # ONCE at byte end. EMA-style updates telescope under this scheme
+    # (p + (v1-p) + (v2-v1) = v2), so the byte-end state matches the
+    # sequential reference semantics up to float associativity (the rounding
+    # change is container-versioned, VERSION 3).
+    M2 = 2 * M
+    NM = len(spec.matches)
     carry = {
         "stm": stm,
         "coder": coder,
         "metrics": metrics,
         "win_w": jnp.zeros((S, _CODER_WIN), U32),
         "bitregs": jnp.zeros((S, 4), U32),
-        "ind_blk": ind_blk,
-        "p_tbl": p_tbl,
         "rows_stable": rows_stable,
         "mix_w": mix_w,
         "max_steps": max_steps,
     }
+    if learn:
+        carry["ib_lane"] = jnp.full((S, M, 8), -1, I32)
+        carry["ib_del"] = jnp.zeros((S, M, 8), I32)
+        carry["pt_slot"] = jnp.full((S, M2, 8), -1, I32)
+        carry["pt_del"] = jnp.zeros((S, M2, 8), F32)
+        if spec.matches:
+            carry["mp_slot"] = jnp.full((S, NM, 8), -1, I32)
+            carry["mp_del"] = jnp.zeros((S, NM, 8), F32)
+            carry["mc_del"] = jnp.zeros((S, NM, 8), I32)
+    ind_blk0, p_tbl0 = ind_blk, p_tbl
     if spec.matches:
-        carry["mt_pred"], carry["mt_cnt"] = mt_pred, mt_cnt
+        mt_pred0, mt_cnt0 = mt_pred, mt_cnt
+    arange8 = jnp.arange(8, dtype=I32)
 
     def sub_step(carry, j):
         static_j = isinstance(j, int)
         stm, coder, metrics = carry["stm"], carry["coder"], carry["metrics"]
         win_w = carry["win_w"]
-        ind_blk, p_tbl, rows_stable = (
-            carry["ind_blk"], carry["p_tbl"], carry["rows_stable"],
-        )
+        rows_stable = carry["rows_stable"]
         mix_w, max_steps = carry["mix_w"], carry["max_steps"]
-        if spec.matches:
-            mt_pred, mt_cnt = carry["mt_pred"], carry["mt_cnt"]
         j_u = U32(j) if static_j else j.astype(U32)
+        j_i = I32(j) if static_j else j.astype(I32)
+        # mask of sub-steps strictly before this one (register-correction term)
+        prev8 = (arange8 < j_i)[None, None, :]  # (1, 1, 8) bool
+
+        def put8(stack, col):
+            """stack[:, :, j] = col, static or traced j."""
+            if static_j:
+                return stack.at[:, :, j].set(col.astype(stack.dtype))
+            sel = arange8 == j_i
+            return jnp.where(sel[None, None, :], col.astype(stack.dtype)[:, :, None], stack)
 
         acc = stm["acc"]
         # bits_seen counts every bit except the very first (basic-contexts.cpp:23-28);
@@ -749,19 +776,15 @@ def _byte_step(
         # ---- indirect models: dense one-hot reads of the per-byte blocks
         # (indirect.cpp:28-45); (bit_ctx + rot) & 255 selects the lane within
         # each block (rotation rationale at the blk gather above).
-        # (These small fused reductions are kernel-overhead-bound, not
-        # traffic-bound — slicing to a static lane range was measured slower,
-        # it just added kernels.) ----
+        # Reads come from the BYTE-START block/table snapshots: the 8 bit_ctx
+        # values of one byte are disjoint, so each sub-step reads a lane no
+        # earlier sub-step wrote; the state->logit table reads are corrected
+        # in registers against earlier same-slot deltas (see carry comment).
         lane_sel = (bit_ctx[:, None] + ind_rot) & U32(255)  # (S, M)
-        if _USE_GATHER:
-            pair = jnp.take_along_axis(
-                ind_blk, _iar(lane_sel)[:, :, None], axis=2
-            )[:, :, 0].astype(I32)
-        else:
-            eq_lane = lane_u == lane_sel[:, :, None]  # (S, M, 256)
-            pair = jnp.sum(
-                jnp.where(eq_lane, ind_blk, jnp.uint16(0)).astype(I32), axis=2
-            )  # (S, M): ns | rm<<8
+        eq_lane = lane_u == lane_sel[:, :, None]  # (S, M, 256)
+        pair = jnp.sum(
+            jnp.where(eq_lane, ind_blk0, jnp.uint16(0)).astype(I32), axis=2
+        )  # (S, M): ns | rm<<8
         ns_raw, rm_raw = pair & 255, pair >> 8
         active_ind = jnp.concatenate(
             [ns_raw != 255, rm_raw != 0], axis=1
@@ -769,11 +792,11 @@ def _byte_step(
         # ns state 255 (unseen) predicts/learns/advances from slot 0
         # (indirect.cpp:49-51); its prediction is masked inactive anyway.
         st_eff = jnp.concatenate([jnp.where(ns_raw == 255, 0, ns_raw), rm_raw], axis=1)
-        if _USE_GATHER:
-            p_cur = jnp.take_along_axis(p_tbl, st_eff[:, :, None], axis=2)[:, :, 0]
-        else:
-            eq_state = lane_i == st_eff[:, :, None]  # (S, 2M, 256)
-            p_cur = jnp.sum(jnp.where(eq_state, p_tbl, F32(0.0)), axis=2)
+        eq_state = lane_i == st_eff[:, :, None]  # (S, 2M, 256)
+        p_cur = jnp.sum(jnp.where(eq_state, p_tbl0, F32(0.0)), axis=2)
+        if learn:
+            same_pt = carry["pt_slot"] == st_eff[:, :, None]  # (S, 2M, 8)
+            p_cur = p_cur + jnp.sum(carry["pt_del"] * (same_pt & prev8), axis=2)
         ind_preds = jnp.where(active_ind, p_cur, F32(0.0))  # (S, 2M) [ns | rm]
         # interleave to the prediction-column order [ns0, rm0, ns1, rm1, ...]
         ind_pair = jnp.stack([ind_preds[:, :M], ind_preds[:, M:]], axis=2).reshape(S, 2 * M)
@@ -802,11 +825,11 @@ def _byte_step(
             mlen = stm["match_len"]
             mbyte = stm["match_byte"]
             active = mlen > 2
-            if _USE_GATHER:
-                mp = jnp.take_along_axis(mt_pred, mlen[:, :, None], axis=2)[:, :, 0]
-            else:
-                eq_len = lane_i == mlen[:, :, None]  # (S, NM, 256)
-                mp = jnp.sum(jnp.where(eq_len, mt_pred, F32(0.0)), axis=2)
+            eq_len = lane_i == mlen[:, :, None]  # (S, NM, 256)
+            mp = jnp.sum(jnp.where(eq_len, mt_pred0, F32(0.0)), axis=2)
+            if learn:
+                same_mp = carry["mp_slot"] == _iar(mlen)[:, :, None]  # (S, NM, 8)
+                mp = mp + jnp.sum(carry["mp_del"] * (same_mp & prev8), axis=2)
             p_prob = jnp.where((mbyte & pred_mask) != 0, mp, F32(1.0) - mp)
             match_preds = jnp.where(active, logit(p_prob), F32(0.0))
             longest = jnp.max((mlen // 32).astype(U32), axis=1)  # match.cpp:71-73
@@ -925,64 +948,57 @@ def _byte_step(
         # per-column analysis EMA over model predictions, L0/L1 mixer outputs
         # and the final output (UpdateEntropy alpha=1e-5, predictor.cpp:439-469;
         # the reference clamps the METRIC's probability at eps=0.01, :458-462 -
-        # matched here so EMAs are directly comparable to its entropy.tsv)
-        col_logits = jnp.concatenate([preds, y0, y1, final_logit[:, None]], axis=1)
-        p_cols = jnp.clip(logistic(col_logits), F32(0.01), F32(0.99))
-        pb_cols = jnp.where((bit == 1)[:, None], p_cols, F32(1.0) - p_cols)
-        metrics = _set(
-            metrics,
-            ema=metrics["ema"] + F32(1e-5) * (-jnp.log2(pb_cols) - metrics["ema"]),
-        )
+        # matched here so EMAs are directly comparable to its entropy.tsv).
+        # analysis=False traces a program without the EMA ops entirely, like
+        # the reference's per-model enable_analysis flags (predictor.cpp:124).
+        if analysis:
+            col_logits = jnp.concatenate([preds, y0, y1, final_logit[:, None]], axis=1)
+            p_cols = jnp.clip(logistic(col_logits), F32(0.01), F32(0.99))
+            pb_cols = jnp.where((bit == 1)[:, None], p_cols, F32(1.0) - p_cols)
+            metrics = _set(
+                metrics,
+                ema=metrics["ema"] + F32(1e-5) * (-jnp.log2(pb_cols) - metrics["ema"]),
+            )
 
         bitf = bit.astype(F32)
         cur_byte = (acc << U32(1)) | bit  # completed byte value at j == 7
 
         if learn:
-            # indirect Learn (indirect.cpp:47-70): updates of the in-register
-            # block + the (small) shared state->logit table
+            # indirect Learn (indirect.cpp:47-70): record the state->logit
+            # delta and the advanced state-pair into the byte stacks
             delta = (bitf[:, None] - logistic(p_cur)) * jnp.asarray(meta.ind_lrs)[None, :]
             # state advance: ns half via the nonstationary table, rm half via
             # the run-map table (256x2 -> flattened 512-entry next tables)
             new_ns = jnp.take(ns_next, st_eff[:, :M] * 2 + _iar(bit)[:, None])
             new_rm = jnp.take(rm_next, st_eff[:, M:] * 2 + _iar(bit)[:, None])
-            new_pair = (new_ns | (new_rm << 8)).astype(jnp.uint16)  # (S, M)
-            if _USE_GATHER:
-                sm_ix = jnp.arange(2 * M)[None, :]
-                p_tbl = p_tbl.at[
-                    jnp.arange(S)[:, None], sm_ix, st_eff
-                ].set(p_cur + delta, unique_indices=True)
-                ind_blk = ind_blk.at[s_ix, jnp.arange(M)[None, :], _iar(lane_sel)].set(
-                    new_pair, unique_indices=True
-                )
-            else:
-                p_tbl = p_tbl + jnp.where(eq_state, delta[:, :, None], F32(0.0))
-                ind_blk = jnp.where(eq_lane, new_pair[:, :, None], ind_blk)
+            new_pair = new_ns | (new_rm << 8)  # (S, M) i32
+            carry = _set(
+                carry,
+                ib_lane=put8(carry["ib_lane"], _iar(lane_sel)),
+                ib_del=put8(carry["ib_del"], new_pair - pair),
+                pt_slot=put8(carry["pt_slot"], st_eff),
+                pt_del=put8(carry["pt_del"], delta),
+            )
 
             # match per-bit Learn (match.cpp:79-90)
             if spec.matches:
                 hit2 = (bit[:, None] == ((mbyte & pred_mask) != 0).astype(U32)).astype(F32)
-                if _USE_GATHER:
-                    cnt = jnp.take_along_axis(mt_cnt, mlen[:, :, None], axis=2)[:, :, 0]
-                else:
-                    cnt = jnp.sum(jnp.where(eq_len, mt_cnt, 0), axis=2)
+                cnt = jnp.sum(jnp.where(eq_len, mt_cnt0, 0), axis=2)
+                cnt = cnt + jnp.sum(carry["mc_del"] * (same_mp & prev8), axis=2)
                 limits = jnp.asarray(meta.match_limits)[None, :]
                 grow = cnt < limits
                 cnt_new = jnp.where(grow, cnt + 1, cnt)
                 lr = F32(1.0) / jnp.where(grow, cnt_new, limits).astype(F32)
                 mp_new = mp + (hit2 - mp) * lr
                 upd_on = mlen > 2  # only matched rows learn (match.cpp:79)
-                if _USE_GATHER:
-                    nm_ix = jnp.arange(mlen.shape[1])[None, :]
-                    mt_pred = mt_pred.at[s_ix, nm_ix, mlen].set(
-                        jnp.where(upd_on, mp_new, mp), unique_indices=True
-                    )
-                    mt_cnt = mt_cnt.at[s_ix, nm_ix, mlen].set(
-                        jnp.where(upd_on, cnt_new, cnt), unique_indices=True
-                    )
-                else:
-                    upd_mask = eq_len & upd_on[:, :, None]
-                    mt_pred = jnp.where(upd_mask, mp_new[:, :, None], mt_pred)
-                    mt_cnt = jnp.where(upd_mask, cnt_new[:, :, None], mt_cnt)
+                carry = _set(
+                    carry,
+                    mp_slot=put8(carry["mp_slot"], _iar(mlen)),
+                    mp_del=put8(carry["mp_del"], jnp.where(upd_on, mp_new - mp, F32(0.0))),
+                    mc_del=put8(
+                        carry["mc_del"], jnp.where(upd_on & grow, 1, 0)
+                    ),
+                )
 
             # mixer Learn (mixer.cpp:108-176): in-register row updates;
             # only the bit-varying rows scatter per sub-step
@@ -1018,21 +1034,17 @@ def _byte_step(
         # advance bit registers
         stm = _set(stm, new_bit=bit, acc=(acc << U32(1)) | bit)
 
-        out = {
-            "stm": stm,
-            "coder": coder,
-            "metrics": metrics,
-            "win_w": win_w,
-            "bitregs": bitregs,
-            "ind_blk": ind_blk,
-            "p_tbl": p_tbl,
-            "rows_stable": rows_stable,
-            "mix_w": mix_w,
-            "max_steps": max_steps,
-        }
-        if spec.matches:
-            out["mt_pred"], out["mt_cnt"] = mt_pred, mt_cnt
-        return out
+        return _set(
+            carry,
+            stm=stm,
+            coder=coder,
+            metrics=metrics,
+            win_w=win_w,
+            bitregs=bitregs,
+            rows_stable=rows_stable,
+            mix_w=mix_w,
+            max_steps=max_steps,
+        )
 
     if bit_scan:
         carry, _ = jax.lax.scan(
@@ -1044,13 +1056,34 @@ def _byte_step(
         for j in range(8):
             carry = sub_step(carry, j)
     stm, coder, metrics = carry["stm"], carry["coder"], carry["metrics"]
-    ind_blk, p_tbl, rows_stable = carry["ind_blk"], carry["p_tbl"], carry["rows_stable"]
+    rows_stable = carry["rows_stable"]
     mix_w, max_steps = carry["mix_w"], carry["max_steps"]
-    if spec.matches:
-        mt_pred, mt_cnt = carry["mt_pred"], carry["mt_cnt"]
     cur_byte = stm["acc"]  # all 8 bits accumulated = the completed byte
     bitregs = carry["bitregs"]
     longest = bitregs[:, 3]
+
+    # ---- apply the deferred per-bit table writes: ONE dense pass per array
+    # per byte instead of 8 (see the carry comment above); the j-sum fuses
+    # into a single elementwise kernel over each (S, *, 256) array ----
+    if learn:
+        ib = ind_blk.astype(I32)
+        pt = p_tbl
+        for jj in range(8):
+            ib = ib + carry["ib_del"][:, :, jj, None] * (
+                lane_i == carry["ib_lane"][:, :, jj, None]
+            )
+            pt = pt + carry["pt_del"][:, :, jj, None] * (
+                lane_i == carry["pt_slot"][:, :, jj, None]
+            )
+        ind_blk = ib.astype(jnp.uint16)
+        p_tbl = pt
+        if spec.matches:
+            mtp, mtc = mt_pred, mt_cnt
+            for jj in range(8):
+                eq = lane_i == carry["mp_slot"][:, :, jj, None]
+                mtp = mtp + carry["mp_del"][:, :, jj, None] * eq
+                mtc = mtc + carry["mc_del"][:, :, jj, None] * eq
+            mt_pred, mt_cnt = mtp, mtc
 
     # ---- coder window flush: ONE scatter per byte (encode), sticky overflow
     # check once per byte ----
@@ -1127,7 +1160,8 @@ def _byte_step(
 # ---------------------------------------------------------------------------
 
 
-def make_chunk_fn_raw(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool = False):
+def make_chunk_fn_raw(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool = False,
+                      analysis: bool = True):
     """Build the UNJITTED chunk processor (for shard_map wrapping — see
     gmix_tpu.parallel.mesh.make_sharded_chunk_fn; XLA's SPMD partitioner
     silently drops the batched row scatters when the jitted fn is fed
@@ -1153,7 +1187,7 @@ def make_chunk_fn_raw(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool
         )
         stm, ltm, coder, metrics, data_buf, code_buf = _byte_step(
             stm, ltm, coder, metrics, data_buf, code_buf, t, decode,
-            meta, learn, bptt_mode, bit_scan=bit_scan,
+            meta, learn, bptt_mode, bit_scan=bit_scan, analysis=analysis,
         )
         return (
             {"stm": stm, "ltm": ltm, "coder": coder, "metrics": metrics},
@@ -1193,10 +1227,12 @@ def make_chunk_fn_raw(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool
     return chunk_fn
 
 
-def make_chunk_fn(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool = False):
+def make_chunk_fn(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool = False,
+                  analysis: bool = True):
     """Jitted single-host chunk processor (see make_chunk_fn_raw)."""
     return jax.jit(
-        make_chunk_fn_raw(meta, chunk, learn, bit_scan), donate_argnums=(0, 1, 2)
+        make_chunk_fn_raw(meta, chunk, learn, bit_scan, analysis),
+        donate_argnums=(0, 1, 2),
     )
 
 
@@ -1242,16 +1278,22 @@ def make_gen_chunk_fn(meta: Meta, chunk: int, bit_scan: bool = False):
 
 def default_bit_scan() -> bool:
     """Unrolled sub-steps on TPU (best runtime); scanned sub-steps elsewhere
-    (the ~8x smaller graph keeps cold-cache CPU compiles tractable)."""
+    (the ~8x smaller graph keeps cold-cache CPU compiles tractable).
+    GMIX_BIT_SCAN=0/1 overrides (e.g. to trade TPU runtime for an ~8x
+    smaller graph on one-off quality runs where compile time dominates)."""
+    env = os.environ.get("GMIX_BIT_SCAN")
+    if env is not None:
+        return env == "1"
     return jax.default_backend() != "tpu"
 
 
 @functools.lru_cache(maxsize=64)
-def get_chunk_fn(spec: EnsembleSpec, chunk: int, learn: bool = True):
+def get_chunk_fn(spec: EnsembleSpec, chunk: int, learn: bool = True, analysis: bool = True):
     """Process-wide compile cache: one jitted chunk program per (spec, chunk)."""
     from .meta import build_meta
 
-    return make_chunk_fn(build_meta(spec), chunk, learn, bit_scan=default_bit_scan())
+    return make_chunk_fn(build_meta(spec), chunk, learn, bit_scan=default_bit_scan(),
+                         analysis=analysis)
 
 
 @functools.lru_cache(maxsize=16)

@@ -29,7 +29,16 @@ _RING = 16  # row DMAs kept in flight per arena
 
 
 def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+    # MEASURED NEGATIVE RESULT (tools/tpu_dma_bench.py on v5e): the DMA ring
+    # does NOT beat XLA's serialized scatter loop - descriptor issue is
+    # scalar-core-bound either way (~85 ns/row in-program for XLA scatters,
+    # ~300 ns/row for the ring incl. index math), and gathers already hit the
+    # fast vectorized path (~11 ns/row). The ring kernels are kept behind
+    # this env flag as the measurement harness; the XLA forms are the default
+    # production path.
+    import os
+
+    return os.environ.get("GMIX_ROWMOVE_PALLAS", "0") == "1" and jax.default_backend() == "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -110,12 +119,16 @@ def _pallas_scatter_fn(S: int, N: int, M: int, W: int, dtype_name: str):
 
     dtype = jnp.dtype(dtype_name)
 
-    def kernel(idx_ref, upd_ref, tbl_ref, sems):
+    def kernel(idx_ref, upd_ref, tbl_ref, out_ref, sems):
+        # out_ref is the SAME buffer as tbl_ref (input_output_aliases), so
+        # rows not written keep their old content
+        del tbl_ref
+
         def dma(i):
             s = i // M
             m = i % M
             return pltpu.make_async_copy(
-                upd_ref.at[s, m], tbl_ref.at[s, idx_ref[s, m]], sems.at[i % _RING]
+                upd_ref.at[s, m], out_ref.at[s, idx_ref[s, m]], sems.at[i % _RING]
             )
 
         _ring_loop(S * M, dma)
