@@ -29,8 +29,14 @@ import os
 import sys
 import time
 
-# (profile_bits, streams) ladder, best quality/throughput first
-LADDER = [(14, 16), (13, 16), (12, 16), (12, 8), (10, 8), (10, 4), (8, 2)]
+# (profile_bits, streams) ladder, best throughput-at-reasonable-quality first.
+# Streams are the designed throughput axis (SURVEY.md 7): per-byte step
+# latency is dominated by a per-stream random-row floor (~85 ns/row x ~200
+# rows/byte, scalar-core bound - see tools/tpu_profile.py + tpu_dma_bench.py),
+# so MB/s grows with S until HBM is full. Larger corpora amortize per-stream
+# model warmup; quality-vs-throughput tradeoffs are recorded in parity.json
+# and data/quality_ablations.json (the ref-profile parity configs live there).
+LADDER = [(12, 96), (11, 128), (11, 96), (10, 128), (10, 64), (10, 16), (8, 8)]
 
 
 def _corpus(n: int) -> bytes:
@@ -85,7 +91,7 @@ def _run_once(spec, S: int, chunk: int, data: bytes):
     from gmix_tpu.state import init_state
 
     meta = build_meta(spec)
-    fn = get_chunk_fn(spec, chunk)
+    fn = get_chunk_fn(spec, chunk, analysis=False)
     st = init_state(meta, S)
     db = jnp.zeros((S, per), jnp.uint8)
     cb = jnp.zeros((S, cap), jnp.uint8)
@@ -93,14 +99,14 @@ def _run_once(spec, S: int, chunk: int, data: bytes):
     jax.block_until_ready(st["metrics"]["ent"])
     del st, db, cb
 
-    pred = Predictor(spec, S)
+    pred = Predictor(spec, S, analysis=False)
     t0 = time.time()
     blob = compress_bytes(data, spec, S, chunk, pred=pred)
     t_enc = time.time() - t0
     ent = entropy_bits(pred) / n
     del pred
 
-    pred = Predictor(spec, S)
+    pred = Predictor(spec, S, analysis=False)
     t0 = time.time()
     out = decompress_bytes(blob, spec, chunk, pred=pred)
     t_dec = time.time() - t0
@@ -112,7 +118,7 @@ def _run_once(spec, S: int, chunk: int, data: bytes):
 
 
 def main():
-    n = int(os.environ.get("GMIX_BENCH_BYTES", 1 << 20))
+    n = int(os.environ.get("GMIX_BENCH_BYTES", 1 << 22))
     chunk = int(os.environ.get("GMIX_BENCH_CHUNK", 4000))
     budget = int(os.environ.get("GMIX_HBM_BUDGET", 11 * 2**30))
     data = _corpus(n)

@@ -55,12 +55,16 @@ class Predictor:
         num_streams: int = 1,
         seed: int = 0xDEADBEEF,
         sharding=None,
+        analysis: bool = True,
     ):
         self.spec = spec
         self.meta: Meta = build_meta(spec)
         self.num_streams = num_streams
         self.seed = seed
         self.sharding = sharding
+        # trace-time choice: analysis=False compiles chunk programs with no
+        # per-column entropy-EMA ops (reference: enable_analysis flags)
+        self.analysis = analysis
         self._fn_cache: Dict = {}
         self.state = init_state(self.meta, num_streams, seed)
         if sharding is not None:
@@ -74,9 +78,9 @@ class Predictor:
     def _axis(self) -> str:
         return self.sharding.spec[0]
 
-    def chunk_fn(self, n: int, learn: bool = True, analysis: bool = True):
+    def chunk_fn(self, n: int, learn: bool = True):
         if self.sharding is None:
-            return get_chunk_fn(self.spec, n, learn, analysis)
+            return get_chunk_fn(self.spec, n, learn, self.analysis)
         # sharded execution must go through shard_map (see
         # parallel.mesh.make_sharded_chunk_fn for why plain jit is wrong)
         key = ("chunk", n, learn)
