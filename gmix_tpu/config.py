@@ -100,12 +100,20 @@ class IndirectModel:
 
     Table size is (1 << table_bits) * 256 + 1 (the +1 breaks byte-context
     collision alignment, indirect.cpp:15-19).
+
+    `rotate` enables the hash-derived lane rotation (the TPU-native
+    equivalent of the +1 sizing; see core/step.py). Measured round 3: the
+    derangement helps dense tables but destroys the beneficial
+    collision-sharing "backoff" of SPARSE deep-order contexts (ind_5b/6b
+    entropy EMA 0.50/0.55 -> 0.56/0.75 on corpus_1m), so sparse models can
+    opt out.
     """
 
     name: str
     ctx: str
     table_bits: int
     lr: float
+    rotate: bool = True
 
 
 @dataclass(frozen=True)

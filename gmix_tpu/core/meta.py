@@ -56,6 +56,7 @@ class Meta:
     ind_blk_masks: np.ndarray  # (M,) uint32: (1 << tb) - 1
     ind_ctx_slots: np.ndarray  # (M,) int32
     ind_lrs: np.ndarray  # (2M,) float32 [ns lrs | rm lrs]
+    ind_rotate: np.ndarray  # (M,) uint32 1/0: lane rotation enabled
     ind_nblocks: int
 
     # mixers, k-order = L0 spec order, then L1, then final (mixer.cpp).
@@ -260,6 +261,9 @@ def build_meta(spec: EnsembleSpec) -> Meta:
         ind_blk_masks=ind_blk_masks,
         ind_ctx_slots=np.array([slots[m.ctx] for m in spec.indirects], np.int32),
         ind_lrs=ind_lrs,
+        ind_rotate=np.array(
+            [1 if getattr(m, "rotate", True) else 0 for m in spec.indirects], np.uint32
+        ),
         ind_nblocks=ind_nblocks,
         mix_offsets=mix_offsets,
         mix_masks=mix_masks,

@@ -665,7 +665,7 @@ def _byte_step(
     # non-power-of-2 modulus breaks byte-context collision alignment
     # (indirect.cpp:15-19). Contexts narrower than 2^16 (raw byte contexts)
     # get rot=0, keeping their exact tables exact.
-    ind_rot = (ind_ctx_vals >> U32(16)) & U32(255)  # (S, M)
+    ind_rot = ((ind_ctx_vals >> U32(16)) & U32(255)) * jnp.asarray(meta.ind_rotate)[None, :]  # (S, M)
     ind_blk = gather_rows(ltm["ind"]["st"], blk_ix)  # (S, M, 256) u16
     p_tbl = ltm["ind"]["p"]  # (S, 2M, 256)
     # byte-stable mixer rows

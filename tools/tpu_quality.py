@@ -84,6 +84,54 @@ def make_variant(name: str):
         )
         spec.validate()
         return spec, int(S)
+    if name.startswith("tuned"):
+        # tuned-x<S>: measured-best quality config. boost-1-17x4 showed that
+        # +1 bit helps low-order indirect tables and the PPM (fewer
+        # collisions) but HURTS sparse deep-order contexts (ind_5b/6b EMA
+        # 0.50->0.55 / 0.55->0.74; 4-selector skips likewise): hash-collision
+        # sharing acts as backoff smoothing when a context rarely repeats.
+        # So: PPM orders at 17 bits, +1 bit for the dense indirect tables,
+        # reference sizing for the sparse ones.
+        S = int(name.split("x")[1])
+        keep = {"ind_5b_15", "ind_6b_15", "ind_skip_1_2_3_4", "ind_skip_0_2_3_4",
+                "ind_skip_0_1_3_4", "ind_skip_0_1_2_4"}
+        spec = reference_spec()
+        spec = dataclasses.replace(
+            spec,
+            indirects=tuple(
+                dataclasses.replace(m, rotate=False) if m.name in keep
+                else dataclasses.replace(m, table_bits=min(m.table_bits + 1, 18))
+                for m in spec.indirects
+            ),
+            ppm=dataclasses.replace(
+                spec.ppm,
+                orders=tuple(
+                    dataclasses.replace(o, table_bits=17) if o.table_bits >= 16 else o
+                    for o in spec.ppm.orders
+                ),
+            ),
+        )
+        spec.validate()
+        return spec, S
+    if name.startswith("ppmtune"):
+        # ppmtune-<inc>-<rescale_total>-<see_lr_milli>x<S>: reference wiring
+        # with PPM count/escape hyperparameters overridden, for attributing
+        # the PPM share of the parity gap (VERDICT round-2 weak #3)
+        body = name.split("-", 1)[1]
+        inc, rescale, rest = body.split("-")
+        see_milli, S = rest.split("x")
+        spec = reference_spec()
+        spec = dataclasses.replace(
+            spec,
+            ppm=dataclasses.replace(
+                spec.ppm,
+                inc=int(inc),
+                rescale_total=int(rescale),
+                see_lr=int(see_milli) / 1000.0,
+            ),
+        )
+        spec.validate()
+        return spec, int(S)
     if name.startswith("ref"):
         parts = name.split("-")
         S = int(parts[1][1:])  # xN
