@@ -117,16 +117,49 @@ def _run_once(spec, S: int, chunk: int, data: bytes):
     return mbps, 8 * len(blob) / n, ent, exact, t_enc, t_dec, len(blob)
 
 
+_TRANSIENT_KEYS = (
+    "RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
+    "OOM", "UNAVAILABLE", "DEADLINE_EXCEEDED", "INTERNAL",
+    "ABORTED", "Socket", "connection", "Connection",
+)
+
+
+def child_main(bits: int, S: int) -> int:
+    """Run ONE ladder config in this (sub)process and print a result line.
+
+    Each attempt lives in its own process because a TPU backend fault
+    poisons the PJRT client for the remainder of the process: one observed
+    "INTERNAL: TPU backend error" failed every subsequent config of an
+    in-process ladder walk, while a fresh process succeeded immediately."""
+    n = int(os.environ.get("GMIX_BENCH_BYTES", 1 << 22))
+    chunk = int(os.environ.get("GMIX_BENCH_CHUNK", 4000))
+    data = _corpus(n)
+    try:
+        mbps, bpb, model_bpb, exact, t_enc, t_dec, blob_len = _run_once(
+            _spec_for(bits), S, chunk, data
+        )
+        print("CHILD_RESULT " + json.dumps({
+            "mbps": mbps, "bpb": bpb, "model_bpb": model_bpb, "exact": exact,
+            "t_enc": t_enc, "t_dec": t_dec, "blob_len": blob_len,
+        }), flush=True)
+        return 0
+    except Exception as e:
+        print("CHILD_ERROR " + f"{type(e).__name__}: {e}"[:800], flush=True)
+        return 1
+
+
 def main():
+    child = os.environ.get("GMIX_BENCH_CHILD")
+    if child:
+        bits, S = child.split("x")
+        return child_main(int(bits), int(S))
+
+    import subprocess
+
     n = int(os.environ.get("GMIX_BENCH_BYTES", 1 << 22))
     chunk = int(os.environ.get("GMIX_BENCH_CHUNK", 4000))
     budget = int(os.environ.get("GMIX_HBM_BUDGET", 11 * 2**30))
-    data = _corpus(n)
-
-    import jax
-
-    dev = jax.devices()[0]
-    sys.stderr.write(f"bench: {n} bytes, chunk {chunk}, device {dev}\n")
+    sys.stderr.write(f"bench: {n} bytes, chunk {chunk}\n")
 
     ladder = list(LADDER)
     prof = os.environ.get("GMIX_BENCH_PROFILE")
@@ -144,29 +177,35 @@ def main():
             )
             continue
         for attempt in range(2):
+            sys.stderr.write(
+                f"bench: trying scaled-{bits}x{S} "
+                f"(state {est/2**30:.2f} GiB, attempt {attempt + 1})\n"
+            )
             try:
-                sys.stderr.write(
-                    f"bench: trying scaled-{bits}x{S} "
-                    f"(state {est/2**30:.2f} GiB, attempt {attempt + 1})\n"
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env={**os.environ, "GMIX_BENCH_CHILD": f"{bits}x{S}"},
+                    stdout=subprocess.PIPE, stderr=sys.stderr,
+                    timeout=int(os.environ.get("GMIX_BENCH_ATTEMPT_TIMEOUT", 3000)),
                 )
-                result = _run_once(spec, S, chunk, data)
+                out = proc.stdout.decode(errors="replace")
+            except subprocess.TimeoutExpired:
+                sys.stderr.write(f"bench: scaled-{bits}x{S} attempt timed out\n")
+                continue
+            res_line = [l for l in out.splitlines() if l.startswith("CHILD_RESULT ")]
+            err_line = [l for l in out.splitlines() if l.startswith("CHILD_ERROR ")]
+            if res_line:
+                r = json.loads(res_line[-1][len("CHILD_RESULT "):])
+                result = (r["mbps"], r["bpb"], r["model_bpb"], r["exact"],
+                          r["t_enc"], r["t_dec"], r["blob_len"])
                 break
-            except Exception as e:
-                # Retry/downgrade ONLY capacity or transport faults; a genuine
-                # correctness bug must surface, not be silently retried away.
-                msg = f"{type(e).__name__}: {e}"
-                transient = any(
-                    k in msg
-                    for k in (
-                        "RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
-                        "OOM", "UNAVAILABLE", "DEADLINE_EXCEEDED", "INTERNAL",
-                        "ABORTED", "Socket", "connection", "Connection",
-                    )
-                )
-                if not transient:
-                    raise
-                sys.stderr.write(f"bench: scaled-{bits}x{S} failed: {msg[:500]}\n")
-                result = None
+            msg = err_line[-1][len("CHILD_ERROR "):] if err_line else "child died"
+            # Retry/downgrade ONLY capacity or transport faults; a genuine
+            # correctness bug must surface, not be silently retried away.
+            # (A messageless child death = backend crash = transient.)
+            if err_line and not any(k in msg for k in _TRANSIENT_KEYS):
+                raise RuntimeError(f"bench child failed (non-transient): {msg}")
+            sys.stderr.write(f"bench: scaled-{bits}x{S} failed: {msg[:500]}\n")
         if result is not None:
             break
     if result is None:
