@@ -36,7 +36,10 @@ import time
 # so MB/s grows with S until HBM is full. Larger corpora amortize per-stream
 # model warmup; quality-vs-throughput tradeoffs are recorded in parity.json
 # and data/quality_ablations.json (the ref-profile parity configs live there).
-LADDER = [(12, 96), (11, 128), (11, 96), (10, 128), (10, 64), (10, 16), (8, 8)]
+# (12, 96) is excluded: its 8.2 GB single indirect arena reproducibly dies
+# with "INTERNAL: TPU backend error" on the 16 GiB chip (likely a transient
+# whole-arena copy on the first unaliased execution overflowing HBM).
+LADDER = [(11, 128), (11, 96), (10, 128), (10, 64), (10, 16), (8, 8)]
 
 
 def _corpus(n: int) -> bytes:
