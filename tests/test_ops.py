@@ -282,3 +282,33 @@ def test_jax_coder_self_roundtrip():
 
     got = np.asarray(dec_all(jnp.asarray(code), jnp.asarray(probs)))
     assert np.array_equal(got, bits)
+
+
+def test_indirect_rotation_optout_roundtrip():
+    """IndirectModel.rotate=False pins a model's lane rotation to 0 (full
+    collision sharing, the measured-better choice for sparse deep-order
+    contexts) while other models keep the hash-derived derangement; the
+    mixed-spec codec must still roundtrip exactly."""
+    import dataclasses
+
+    import numpy as np
+
+    from gmix_tpu.config import tiny_spec
+    from gmix_tpu.core.codec import compress_bytes, decompress_bytes
+    from gmix_tpu.core.meta import build_meta
+
+    spec = tiny_spec()
+    spec = dataclasses.replace(
+        spec,
+        indirects=tuple(
+            dataclasses.replace(m, rotate=(i % 2 == 0))
+            for i, m in enumerate(spec.indirects)
+        ),
+    )
+    meta = build_meta(spec)
+    assert meta.ind_rotate.tolist() == [1, 0, 1, 0, 1, 0]
+    data = bytes(np.random.default_rng(3).integers(0, 256, 600, np.uint8)) * 2
+    blob = compress_bytes(data, spec, num_streams=2, chunk=50)
+    assert decompress_bytes(blob, spec, chunk=50) == data
+    # the spec hash must distinguish rotation choices (archive compatibility)
+    assert spec.stable_hash() != tiny_spec().stable_hash()
