@@ -84,6 +84,28 @@ def make_variant(name: str):
         )
         spec.validate()
         return spec, int(S)
+    if name.startswith("best"):
+        # best-x<S>: boost-1-18 (best measured) + faster PPM count rescale
+        # (rescale_total 48000 -> 20000: more recency in the count rows)
+        S = int(name.split("x")[1])
+        spec = reference_spec()
+        spec = dataclasses.replace(
+            spec,
+            indirects=tuple(
+                dataclasses.replace(m, table_bits=min(m.table_bits + 1, 18))
+                for m in spec.indirects
+            ),
+            ppm=dataclasses.replace(
+                spec.ppm,
+                rescale_total=20000,
+                orders=tuple(
+                    dataclasses.replace(o, table_bits=18) if o.table_bits >= 16 else o
+                    for o in spec.ppm.orders
+                ),
+            ),
+        )
+        spec.validate()
+        return spec, S
     if name.startswith("tuned"):
         # tuned-x<S>: measured-best quality config. boost-1-17x4 showed that
         # +1 bit helps low-order indirect tables and the PPM (fewer
