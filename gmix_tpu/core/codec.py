@@ -129,6 +129,7 @@ class Predictor:
         p = object.__new__(Predictor)
         p.spec, p.meta, p.num_streams, p.seed = self.spec, self.meta, self.num_streams, self.seed
         p.sharding = self.sharding
+        p.analysis = self.analysis
         p._fn_cache = self._fn_cache
         p.state = copy_state(self.state)
         return p
