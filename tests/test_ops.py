@@ -312,3 +312,23 @@ def test_indirect_rotation_optout_roundtrip():
     assert decompress_bytes(blob, spec, chunk=50) == data
     # the spec hash must distinguish rotation choices (archive compatibility)
     assert spec.stable_hash() != tiny_spec().stable_hash()
+
+
+def test_quality_variant_specs_build():
+    """Every tools/tpu_quality.py variant name must build a valid spec (a
+    typo'd variant must fail at parse time, not after a 10-minute TPU
+    compile)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        from tpu_quality import make_variant
+    finally:
+        sys.path.pop(0)
+    for name in ("ref-x4", "ref-x1", "ref-x4-noppm", "ref-x4-oldppm",
+                 "scaled-14x16", "scaled-12x64", "boost-1-17x4", "boost-1-18x4",
+                 "tuned-x4", "best-x4", "ppmtune-6-32000-20x4"):
+        spec, S = make_variant(name)
+        assert S >= 1
+        spec.validate()
