@@ -249,7 +249,7 @@ def main():
                           "value": 0.0, "unit": "MB/s", "vs_baseline": 0.0}))
         return 1
     print(json.dumps({
-        "metric": f"corpus-1M encode+decode MB/s per chip (scaled-{bits}, {S} streams)",
+        "metric": f"corpus-{n >> 20}M encode+decode MB/s per chip (scaled-{bits}, {S} streams)",
         "value": round(mbps, 4),
         "unit": "MB/s",
         "vs_baseline": round(vs, 2),
