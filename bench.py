@@ -240,6 +240,14 @@ def main():
         "ref_bpb": ref_bpb,
         "encdec_mbps": round(mbps, 4),
         "roundtrip_exact": bool(exact),
+        "note": (
+            "this is the THROUGHPUT operating point (many short parallel "
+            "streams, each paying model warmup); the compression-parity "
+            "configs live in data/quality_ablations.json - best measured: "
+            "boost-1-18x4 at 2.0338 bpb on corpus_1m vs 2.0318 for the "
+            "reference on the same 4-way-split input (README 'Compression "
+            "parity')"
+        ),
     }
     with open(os.path.join(os.path.dirname(__file__), "data", "parity.json"), "w") as f:
         json.dump(parity, f, indent=1)
