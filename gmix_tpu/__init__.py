@@ -28,6 +28,7 @@ if not _os.environ.get("GMIX_NO_COMPILE_CACHE"):
 from .config import (  # noqa: F401
     EnsembleSpec,
     LstmSpec,
+    best_spec,
     reference_spec,
     scale_tables,
     tiny_spec,

@@ -20,10 +20,12 @@ import numpy as np
 
 
 def _spec(args):
-    from .config import reference_spec, scale_tables, tiny_spec
+    from .config import best_spec, reference_spec, scale_tables, tiny_spec
 
     if args.profile == "ref":
         s = reference_spec()
+    elif args.profile == "best":
+        s = best_spec()
     elif args.profile == "tiny":
         s = tiny_spec(with_lstm=True)
     else:
@@ -33,7 +35,8 @@ def _spec(args):
         m = re.fullmatch(r"scaled-(\d+)", args.profile)
         if not m:
             raise SystemExit(
-                f"unknown profile {args.profile!r}: use 'ref', 'tiny', or 'scaled-<bits>'"
+                f"unknown profile {args.profile!r}: use 'ref', 'best', 'tiny', "
+                "or 'scaled-<bits>'"
             )
         bits = int(m.group(1))
         s = scale_tables(reference_spec(), bits, history_bits=min(24, bits + 4))
@@ -55,7 +58,8 @@ def _progress(total, label):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="gmix_tpu")
     p.add_argument("--profile", default="scaled-12",
-                   help="ref | tiny | scaled-N (tables capped at 2^N)")
+                   help="ref | best (highest measured quality) | tiny | "
+                        "scaled-N (tables capped at 2^N)")
     p.add_argument("--streams", type=int, default=8)
     p.add_argument("--chunk", type=int, default=4096)
     p.add_argument("--seed", type=int, default=0xDEADBEEF)

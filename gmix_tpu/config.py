@@ -486,6 +486,33 @@ def reference_spec() -> EnsembleSpec:
     return spec
 
 
+def best_spec() -> EnsembleSpec:
+    """The measured-best compression-quality wiring (round 3): the reference
+    ensemble with every indirect table grown one bit (cap 18) and the hashed
+    PPM orders at 18 bits. On corpus_1m at 4 streams this reaches 2.0338 bpb
+    vs 2.0318 for the reference binary on the same 4-way-split input
+    (data/quality_ablations.json `boost-1-18x4`); state is ~2.9 GiB/stream,
+    sized for the 16 GiB chip at small stream counts."""
+    import dataclasses as _dc
+
+    spec = reference_spec()
+    spec = _dc.replace(
+        spec,
+        indirects=tuple(
+            _dc.replace(m, table_bits=min(m.table_bits + 1, 18)) for m in spec.indirects
+        ),
+        ppm=_dc.replace(
+            spec.ppm,
+            orders=tuple(
+                _dc.replace(o, table_bits=18) if o.table_bits >= 16 else o
+                for o in spec.ppm.orders
+            ),
+        ),
+    )
+    spec.validate()
+    return spec
+
+
 def tiny_spec(with_lstm: bool = False) -> EnsembleSpec:
     """A small-but-representative spec for unit tests: every model kind and
     every context kind is exercised, with tiny tables."""
