@@ -138,6 +138,34 @@ class MixerModel:
 
 
 @dataclass(frozen=True)
+class ApmStage:
+    """One SSE/APM final-probability refinement stage.
+
+    The standard cmix/paq adaptive-probability-map trick the reference LACKS
+    (its final path is a bare clamp of the mixer output,
+    src/predictor.cpp:360-376): a per-(context, bit-position) table maps the
+    quantized mixer probability to a learned refined probability, with linear
+    interpolation between adjacent quantization bins and an online update of
+    the two bins toward the observed bit. TPU-native: the table row for a
+    byte-stable gating context is gathered once per byte, read/updated in
+    registers across the 8 bit sub-steps, and scattered back once per byte
+    (one extra arena row per stage per byte).
+
+    Bins quantize logit(p) over [-APM_SPAN, APM_SPAN] into APM_BINS-1 cells;
+    each row holds APM_BINS probabilities per bit position (position-aware
+    calibration; 8*APM_BINS lanes per row). `weight` blends the refined
+    probability with the stage input in probability domain:
+    out = weight*apm + (1-weight)*in. Stages chain in order.
+    """
+
+    name: str
+    ctx: str
+    table_bits: int
+    lr: float = 0.02
+    weight: float = 0.75
+
+
+@dataclass(frozen=True)
 class PpmOrder:
     ctx: str  # context slot providing the hashed byte context
     table_bits: int  # 2^bits rows of 256 counts
@@ -215,6 +243,7 @@ class EnsembleSpec:
     ppm: Optional[PpmSpec] = None  # PPM byte model (feeds ppm_probs)
     history_bits: int = 24  # dedup history ring size (reference: unbounded)
     roll_ctxs: Tuple[RollHashCtx, ...] = ()  # deep-order rolling-hash contexts
+    apm: Tuple[ApmStage, ...] = ()  # SSE/APM final-probability stages
 
     @property
     def use_ppm(self) -> bool:
@@ -305,6 +334,13 @@ class EnsembleSpec:
         if self.ppm is not None:
             for o in self.ppm.orders:
                 assert o.ctx not in vary, "ppm orders need byte-stable contexts"
+        for a in self.apm:
+            assert a.ctx in names, f"unknown context {a.ctx!r} in apm {a.name}"
+            assert a.ctx not in vary, (
+                f"apm {a.name}: gating context must be byte-stable (the row "
+                "is gathered once per byte; bit-position awareness is built "
+                "into the row layout)"
+            )
 
     def stable_hash(self) -> int:
         """Stable 64-bit digest of the spec, embedded in the container format."""
@@ -338,6 +374,10 @@ def scale_tables(spec: EnsembleSpec, max_bits: int, history_bits: Optional[int] 
         )
         if spec.ppm is not None
         else None,
+        apm=tuple(
+            dataclasses.replace(a, table_bits=min(a.table_bits, max_bits))
+            for a in spec.apm
+        ),
         history_bits=min(spec.history_bits, history_bits if history_bits is not None else spec.history_bits),
     )
 
@@ -551,6 +591,10 @@ def tiny_spec(with_lstm: bool = False) -> EnsembleSpec:
         indirects=indirects,
         matches=matches,
         mixers=mixers,
+        apm=(
+            ApmStage("apm_lb", "last_byte", 4),
+            ApmStage("apm_h2", "h2", 6, weight=0.5),
+        ),
         lstm=LstmSpec(num_cells=16, horizon=10, update_limit=30) if with_lstm else None,
         ppm=PpmSpec(
             orders=(

@@ -23,6 +23,8 @@ from ..config import EnsembleSpec
 LANE = 128  # pad mixer weight rows to the TPU lane width
 MAX_SKIP = 8  # skip contexts hash at most 8 recent bytes (skip-context.h)
 ROLL_BASE = 0x01000193  # rolling-hash base: FNV-32 prime (odd -> bijective mult)
+APM_BINS = 33  # SSE/APM probability-quantization bins per bit position
+APM_SPAN = 16.0  # bins cover logit(p) in [-APM_SPAN, APM_SPAN]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -120,6 +122,15 @@ class Meta:
     ppm_masks: np.ndarray  # (NO,) uint32
     ppm_row_offsets: np.ndarray  # (NO,) int32 into the row arena
     ppm_total_rows: int
+
+    # SSE/APM stages (config.ApmStage): rows of 8*APM_BINS f32 lanes
+    # (bit-position-major), one arena across stages
+    apm_offsets: np.ndarray  # (NA,) int32 row offsets
+    apm_masks: np.ndarray  # (NA,) uint32
+    apm_ctx_slots: np.ndarray  # (NA,) int32
+    apm_lrs: np.ndarray  # (NA,) float32
+    apm_weights: np.ndarray  # (NA,) float32
+    apm_total: int
 
     # rolling-hash contexts (deep PPM orders): h' = (h - leave*B^(n-1))*B + c
     roll_slots: np.ndarray  # (NR,) int32 ctx slots
@@ -246,6 +257,9 @@ def build_meta(spec: EnsembleSpec) -> Meta:
     orders = spec.ppm.orders if spec.ppm else ()
     ppm_row_offsets, ppm_masks, ppm_total_rows = _arena([o.table_bits for o in orders])
 
+    # --- APM row arena ---
+    apm_offsets, apm_masks, apm_total = _arena([a.table_bits for a in spec.apm])
+
     # --- rolling-hash contexts ---
     roll_pows = np.array(
         [pow(ROLL_BASE, c.order - 1, 1 << 32) for c in spec.roll_ctxs], np.uint32
@@ -307,6 +321,12 @@ def build_meta(spec: EnsembleSpec) -> Meta:
         ppm_masks=ppm_masks,
         ppm_row_offsets=ppm_row_offsets,
         ppm_total_rows=ppm_total_rows,
+        apm_offsets=apm_offsets,
+        apm_masks=apm_masks,
+        apm_ctx_slots=np.array([slots[a.ctx] for a in spec.apm], np.int32),
+        apm_lrs=np.array([a.lr for a in spec.apm], np.float32),
+        apm_weights=np.array([a.weight for a in spec.apm], np.float32),
+        apm_total=apm_total,
         roll_slots=np.array([slots[c.name] for c in spec.roll_ctxs], np.int32),
         roll_old_ix=np.array([c.order - 1 for c in spec.roll_ctxs], np.int32),
         roll_pows=roll_pows,

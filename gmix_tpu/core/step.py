@@ -61,7 +61,7 @@ from ..ops.rowmove import gather_rows, scatter_rows
 from ..ops.murmur import murmur3_u32, murmur3_u64
 from ..ops.sigmoid import clamp_prob, logistic, logit
 from ..ops.tables import nonstationary_table, run_map_table
-from .meta import Meta, ROLL_BASE
+from .meta import APM_BINS, APM_SPAN, Meta, ROLL_BASE
 
 F32 = jnp.float32
 U32 = jnp.uint32
@@ -678,6 +678,13 @@ def _byte_step(
     rows_stable = gather_rows(ltm["mix_w"], rowix_st)  # (S, Kst, WP)
     mix_w = ltm["mix_w"]
     max_steps = ltm["mix_max_steps"]
+    # SSE/APM rows (byte-stable gating contexts; one row per stage per byte)
+    if spec.apm:
+        apm_ix = _iar(
+            ctx_byte[:, jnp.asarray(meta.apm_ctx_slots)]
+            & jnp.asarray(meta.apm_masks)[None, :]
+        ) + jnp.asarray(meta.apm_offsets)[None, :]
+        apm_rows0 = gather_rows(ltm["apm"], apm_ix)  # (S, NA, 8*APM_BINS)
     if spec.matches:
         mt_pred, mt_cnt = ltm["match_pred"], ltm["match_cnt"]
 
@@ -726,6 +733,8 @@ def _byte_step(
         "mix_w": mix_w,
         "max_steps": max_steps,
     }
+    if spec.apm:
+        carry["apm_rows"] = apm_rows0
     if learn:
         carry["ib_lane"] = jnp.full((S, M, 8), -1, I32)
         carry["ib_del"] = jnp.zeros((S, M, 8), I32)
@@ -902,6 +911,40 @@ def _byte_step(
         final_logit = jnp.einsum("sw,sw->s", rows_f[:, K - 1], base2, preferred_element_type=F32)
         prob = clamp_prob(logistic(final_logit))
 
+        # ---- SSE/APM refinement chain (config.ApmStage): interpolated
+        # table lookup of the quantized probability, per bit position; the
+        # coder consumes the refined probability. Learn happens after the
+        # bit is known (below). ----
+        NA = len(spec.apm)
+        if NA:
+            apm_rows = carry["apm_rows"]
+            nb_lane = jnp.arange(APM_BINS, dtype=I32)[None, :]
+            apm_slices, apm_wvs, apm_pvs = [], [], []
+            apm_l, apm_p = final_logit, prob
+            for a in range(NA):
+                if static_j:
+                    row = apm_rows[:, a, j * APM_BINS : (j + 1) * APM_BINS]
+                else:
+                    row = jax.lax.dynamic_slice_in_dim(
+                        apm_rows[:, a], j_i * APM_BINS, APM_BINS, axis=1
+                    )
+                pos = (jnp.clip(apm_l, -APM_SPAN, APM_SPAN) + APM_SPAN) * F32(
+                    (APM_BINS - 1) / (2 * APM_SPAN)
+                )
+                i0 = jnp.minimum(pos.astype(I32), APM_BINS - 2)
+                w = pos - i0.astype(F32)
+                wv = jnp.where(
+                    nb_lane == i0[:, None], F32(1.0) - w[:, None], F32(0.0)
+                ) + jnp.where(nb_lane == i0[:, None] + 1, w[:, None], F32(0.0))
+                pv = jnp.sum(row * wv, axis=1)
+                wgt = F32(float(meta.apm_weights[a]))
+                apm_p = clamp_prob(wgt * pv + (F32(1.0) - wgt) * apm_p)
+                apm_l = logit(apm_p)
+                apm_slices.append(row)
+                apm_wvs.append(wv)
+                apm_pvs.append(pv)
+            prob = apm_p
+
         # ---- arithmetic coder (encoder.cpp:10-25 / decoder.cpp:19-39) ----
         if sample_u is None:
             enc_bit = (data_byte >> (U32(7) - j_u)) & U32(1)
@@ -962,6 +1005,23 @@ def _byte_step(
 
         bitf = bit.astype(F32)
         cur_byte = (acc << U32(1)) | bit  # completed byte value at j == 7
+
+        if learn and NA:
+            # APM learn: move the two interpolation bins toward the bit,
+            # in-register (rows scatter once per byte at byte end)
+            for a in range(NA):
+                new_row = apm_slices[a] + F32(float(meta.apm_lrs[a])) * (
+                    bitf - apm_pvs[a]
+                )[:, None] * apm_wvs[a]
+                if static_j:
+                    apm_rows = apm_rows.at[
+                        :, a, j * APM_BINS : (j + 1) * APM_BINS
+                    ].set(new_row)
+                else:
+                    apm_rows = jax.lax.dynamic_update_slice(
+                        apm_rows, new_row[:, None, :], (0, a, j_i * APM_BINS)
+                    )
+            carry = _set(carry, apm_rows=apm_rows)
 
         if learn:
             # indirect Learn (indirect.cpp:47-70): record the state->logit
@@ -1124,6 +1184,8 @@ def _byte_step(
         )
         if spec.matches:
             ltm = _set(ltm, match_pred=mt_pred, match_cnt=mt_cnt)
+        if spec.apm:
+            ltm = _set(ltm, apm=scatter_rows(ltm["apm"], apm_ix, carry["apm_rows"]))
         hist_n = stm["hist_n"]
         append = longest < 2
         hpos = jnp.where(append, hist_n & U32(meta.history_size - 1), U32(meta.history_size))

@@ -90,6 +90,20 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
     # --- dedup history ring ---
     ltm["hist"] = jnp.zeros((S, meta.history_size), u8)
 
+    # --- SSE/APM stages: rows of 8 bit positions x APM_BINS probabilities,
+    # initialised to the identity map p(bin k) = logistic(bin-center logit)
+    # so an untrained stage passes its input through (up to the piecewise-
+    # linear quantisation) ---
+    if spec.apm:
+        from .core.meta import APM_BINS, APM_SPAN
+
+        centers = -APM_SPAN + np.arange(APM_BINS) * (2 * APM_SPAN / (APM_BINS - 1))
+        ident = 1.0 / (1.0 + np.exp(-centers))
+        row = np.tile(ident.astype(np.float32), 8)  # (8*APM_BINS,)
+        ltm["apm"] = jnp.broadcast_to(
+            jnp.asarray(row), (S, meta.apm_total, 8 * APM_BINS)
+        ).copy()
+
     # --- PPM byte model (device-native ModPPMD equivalent). The tables live
     # in SHORT-term memory mirroring the reference, whose entire PPMD heap is
     # serialized as short-term state and keeps updating during generation
