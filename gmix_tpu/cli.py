@@ -247,8 +247,8 @@ def _train(args, spec):
     done = 0
     while done < per:
         n = min(eval_every, per - done)
-        data_buf, code_buf = C.run_chunks(pred, data_buf, code_buf, n, decode=False,
-                                          t0=done, chunk=chunk)
+        data_buf, code_buf, _ = C.run_chunks(pred, data_buf, code_buf, n, decode=False,
+                                             t0=done, chunk=chunk)
         done += n
         train_ent = C.entropy_bits(pred) / max(done * S, 1)
         # deep copy + test evaluation (Predictor::Copy, predictor.cpp:42-48)

@@ -156,6 +156,20 @@ def _pad_streams(data: bytes, num_streams: int, chunk: int):
     return arr, per
 
 
+def _compact_emits(emits, S: int):
+    """Assemble per-stream code bytes from the per-chunk (win, nw) scan
+    outputs: stream s's bytes are the concatenation over input bytes t of
+    win[t, s, :nw[t, s]]."""
+    outs = [[] for _ in range(S)]
+    for win_d, nw_d in emits:
+        win = np.asarray(jax.device_get(win_d))  # (chunk, S, 40) u8
+        nw = np.asarray(jax.device_get(nw_d))  # (chunk, S) u8
+        mask = np.arange(win.shape[2])[None, None, :] < nw[:, :, None]
+        for s in range(S):
+            outs[s].append(win[:, s][mask[:, s]].tobytes())
+    return [b"".join(o) for o in outs]
+
+
 def run_chunks(
     pred: Predictor,
     data_buf,
@@ -168,27 +182,27 @@ def run_chunks(
     progress=None,
 ):
     """Drive the jitted chunk program over [t0, t0+n_bytes). Buffers stay on
-    device across chunks; returns (data_buf, code_buf)."""
+    device across chunks; returns (data_buf, code_buf, payloads) where
+    payloads is the list of per-stream code bytes emitted by THIS call
+    (encode; empty byte strings for decode). The encoder's renorm bytes leave
+    the device as dense per-byte scan outputs and are compacted on the host
+    (the old scatter into code_buf cost ~98 ns per element on the TPU scalar
+    core and dominated the per-byte step)."""
     assert n_bytes % chunk == 0, "n_bytes must be a chunk multiple"
     fn = pred.chunk_fn(chunk, learn=learn)
     dec = jnp.asarray(bool(decode))
+    S = data_buf.shape[0]
+    emits = []
     for t in range(t0, t0 + n_bytes, chunk):
-        pred.state, data_buf, code_buf = fn(
+        pred.state, data_buf, code_buf, win, nw = fn(
             pred.state, data_buf, code_buf, jnp.int32(t), dec
         )
+        if not decode:
+            emits.append((win, nw))
         if progress is not None:
             progress(t + chunk)
-    # encoder overflow is EXACT and sticky (coder["ovf"], set in the step when
-    # a renorm byte would land past capacity); checking it here costs one
-    # device_get after the whole run instead of a pipeline stall per chunk
-    if not decode:
-        ovf = np.asarray(jax.device_get(pred.state["coder"]["ovf"]))
-        if ovf.any():
-            raise RuntimeError(
-                f"code buffer overflow on streams {np.nonzero(ovf)[0].tolist()} "
-                f"(capacity {code_buf.shape[1]}); increase the capacity factor"
-            )
-    return data_buf, code_buf
+    payloads = _compact_emits(emits, S) if not decode else [b""] * S
+    return data_buf, code_buf, payloads
 
 
 def compress_bytes(
@@ -213,15 +227,16 @@ def compress_bytes(
     if pred.sharding is not None:
         data_buf = jax.device_put(data_buf, pred.sharding)
         code_buf = jax.device_put(code_buf, pred.sharding)
-    data_buf, code_buf = run_chunks(
+    data_buf, code_buf, bodies = run_chunks(
         pred, data_buf, code_buf, per, decode=False, chunk=chunk, progress=progress
     )
     coder = jax.device_get(pred.state["coder"])
-    codes_np = np.asarray(jax.device_get(code_buf))
     tails = coder_ops.flush_bytes(coder["x1"], coder["x2"])
-    payloads = [
-        codes_np[s, : int(coder["wpos"][s])].tobytes() + tails[s] for s in range(S)
-    ]
+    for s in range(S):
+        assert len(bodies[s]) == int(coder["wpos"][s]), (
+            "emitted byte count disagrees with the coder's write cursor"
+        )
+    payloads = [bodies[s] + tails[s] for s in range(S)]
     header = MAGIC + struct.pack(
         "<BBHQQQQ", VERSION, 0, S, orig, per, spec.stable_hash(), 0
     )
@@ -295,7 +310,7 @@ def decompress_bytes(
     if pred.sharding is not None:
         data_buf = jax.device_put(data_buf, pred.sharding)
         code_buf = jax.device_put(code_buf, pred.sharding)
-    data_buf, code_buf = run_chunks(
+    data_buf, code_buf, _ = run_chunks(
         pred, data_buf, code_buf, per, decode=True, chunk=chunk, progress=progress
     )
     out = np.asarray(jax.device_get(data_buf)).reshape(-1)[:orig]

@@ -982,7 +982,6 @@ def _byte_step(
             "x": cst.x,
             "wpos": wpos + jnp.where(decode, U32(0), nrenorm.astype(U32)),
             "rpos": rpos + jnp.where(decode, nrenorm.astype(U32), U32(0)),
-            "ovf": coder["ovf"],  # updated once per byte at the window flush
         }
 
         # cumulative cross-entropy metric (bits) (runner.cpp:96-101)
@@ -1145,23 +1144,17 @@ def _byte_step(
                 mtc = mtc + carry["mc_del"][:, :, jj, None] * eq
             mt_pred, mt_cnt = mtp, mtc
 
-    # ---- coder window flush: ONE scatter per byte (encode), sticky overflow
-    # check once per byte ----
+    # ---- coder window emit: the renorm bytes of this input byte leave the
+    # program as scan OUTPUTS (a dense per-byte write) instead of a scatter
+    # into code_buf — the (S, 40) element scatter cost ~98 ns/element on the
+    # scalar core (tools/tpu_scatter_width_bench.py), the single largest row
+    # block of the old step. The host assembles the byte stream from
+    # (win, nw) per byte (codec.run_chunks); encode can no longer overflow a
+    # device buffer, so the old sticky-overflow flag is gone. Decode emits
+    # zeros (ignored). ----
     nwritten = coder["wpos"] - wpos0  # (S,)
-    lane_ok = (win_lanes[None, :] < nwritten[:, None]) & jnp.logical_not(decode)
-    w_ix = jnp.where(lane_ok, wpos0[:, None] + win_lanes[None, :], U32(cap_total))
-    code_buf = code_buf.at[s_ix, _iar(w_ix)].set(
-        carry["win_w"].astype(code_buf.dtype), mode="drop"
-    )
-    coder = _set(
-        coder,
-        ovf=coder["ovf"]
-        | jnp.where(
-            jnp.logical_not(decode) & (wpos0 + nwritten > U32(cap_total)),
-            U32(1),
-            U32(0),
-        ),
-    )
+    win_out = carry["win_w"].astype(jnp.uint8)  # (S, _CODER_WIN)
+    nw_out = nwritten.astype(jnp.uint8)
 
     # ---- final per-bit context values -> ctx array (checkpoint consistency:
     # the serialized ctx at a byte boundary equals what the last sub-step saw)
@@ -1214,7 +1207,7 @@ def _byte_step(
     data_buf = jax.lax.dynamic_update_slice_in_dim(
         data_buf, cur_byte.astype(data_buf.dtype)[:, None], t, axis=1
     )
-    return stm, ltm, coder, metrics, data_buf, code_buf
+    return stm, ltm, coder, metrics, data_buf, code_buf, win_out, nw_out
 
 
 # ---------------------------------------------------------------------------
@@ -1230,8 +1223,11 @@ def make_chunk_fn_raw(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool
     stream-sharded arrays directly, so multi-device execution must run the
     per-shard program on local shapes instead).
 
-    fn(state, data_buf, code_buf, t0, decode) -> (state, data_buf, code_buf)
-    processes `chunk` bytes starting at byte offset t0. With learning on and
+    fn(state, data_buf, code_buf, t0, decode) ->
+    (state, data_buf, code_buf, win, nw) processes `chunk` bytes starting at
+    byte offset t0; win (chunk, S, 40) u8 / nw (chunk, S) u8 are the encoder's
+    renorm bytes per input byte (scan outputs; the host assembles the code
+    stream from them — see codec.run_chunks). Decode emits zeros. With learning on and
     an LSTM whose horizon divides the chunk, the scan nests as
     [segments x horizon] and BPTT runs unconditionally at segment ends
     (callers must then keep t0 horizon-aligned, which chunk-multiple t0
@@ -1247,7 +1243,7 @@ def make_chunk_fn_raw(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool
         stm, ltm, coder, metrics = (
             state["stm"], state["ltm"], state["coder"], state["metrics"],
         )
-        stm, ltm, coder, metrics, data_buf, code_buf = _byte_step(
+        stm, ltm, coder, metrics, data_buf, code_buf, win, nw = _byte_step(
             stm, ltm, coder, metrics, data_buf, code_buf, t, decode,
             meta, learn, bptt_mode, bit_scan=bit_scan, analysis=analysis,
         )
@@ -1256,12 +1252,12 @@ def make_chunk_fn_raw(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool
             data_buf,
             code_buf,
             decode,
-        ), ()
+        ), (win, nw)
 
     if seg_aligned:
 
         def seg_step(carry, s0):
-            carry, _ = jax.lax.scan(byte_scan_step, carry, s0 + jnp.arange(Hz, dtype=I32))
+            carry, ys = jax.lax.scan(byte_scan_step, carry, s0 + jnp.arange(Hz, dtype=I32))
             state = carry[0]
             # epoch wrapped exactly now; run the deferred BPTT unconditionally
             lst, lw = _lstm_bptt(state["stm"]["lstm"], state["ltm"]["lstm"], meta)
@@ -1270,21 +1266,23 @@ def make_chunk_fn_raw(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool
                 stm=_set(state["stm"], lstm=lst),
                 ltm=_set(state["ltm"], lstm=lw),
             )
-            return (state,) + carry[1:], ()
+            return ((state,) + carry[1:]), ys
 
         def chunk_fn(state, data_buf, code_buf, t0, decode):
             carry = (state, data_buf, code_buf, decode)
             starts = t0.astype(I32) + jnp.arange(0, chunk, Hz, dtype=I32)
-            carry, _ = jax.lax.scan(seg_step, carry, starts)
-            return carry[0], carry[1], carry[2]
+            carry, (win, nw) = jax.lax.scan(seg_step, carry, starts)
+            win = win.reshape((chunk,) + win.shape[2:])
+            nw = nw.reshape((chunk,) + nw.shape[2:])
+            return carry[0], carry[1], carry[2], win, nw
 
     else:
 
         def chunk_fn(state, data_buf, code_buf, t0, decode):
             carry = (state, data_buf, code_buf, decode)
             ts = t0.astype(I32) + jnp.arange(chunk, dtype=I32)
-            carry, _ = jax.lax.scan(byte_scan_step, carry, ts)
-            return carry[0], carry[1], carry[2]
+            carry, (win, nw) = jax.lax.scan(byte_scan_step, carry, ts)
+            return carry[0], carry[1], carry[2], win, nw
 
     return chunk_fn
 
@@ -1310,7 +1308,7 @@ def make_gen_chunk_fn_raw(meta: Meta, chunk: int, bit_scan: bool = False):
         stm, ltm, coder, metrics = (
             state["stm"], state["ltm"], state["coder"], state["metrics"],
         )
-        stm, ltm, coder, metrics, data_buf, code_buf = _byte_step(
+        stm, ltm, coder, metrics, data_buf, code_buf, _win, _nw = _byte_step(
             stm, ltm, coder, metrics, data_buf, code_buf, t,
             jnp.asarray(False), meta, False, "cond",
             sample_u=u, inv_temp=inv_temp, bit_scan=bit_scan,

@@ -163,18 +163,30 @@ def compress_bytes_multihost(
     import jax.numpy as jnp
 
     decode = jnp.asarray(dec)
+    emits = []
     for t in range(0, per, chunk):
-        state, data_buf, code_buf = fn(state, data_buf, code_buf, jnp.int32(t), decode)
+        state, data_buf, code_buf, win, nw = fn(
+            state, data_buf, code_buf, jnp.int32(t), decode
+        )
+        emits.append((win, nw))
 
-    # ordered gather: coder registers + code bytes to every host
-    gathered = _replicate(mesh, {"coder": state["coder"], "code": code_buf})
+    # ordered gather: coder registers + per-byte renorm emissions to every
+    # host (the code stream leaves the scan as dense (chunk, S, 40) outputs;
+    # see codec.run_chunks)
+    gathered = _replicate(
+        mesh,
+        {
+            "coder": state["coder"],
+            "win": jnp.concatenate([w for w, _ in emits], axis=0),
+            "nw": jnp.concatenate([n for _, n in emits], axis=0),
+        },
+    )
     coder = gathered["coder"]
-    if np.asarray(coder["ovf"]).any():
-        raise RuntimeError("code buffer overflow; increase capacity factor")
-    codes_np = gathered["code"]
+    win_np, nw_np = gathered["win"], gathered["nw"]
+    mask = np.arange(win_np.shape[2])[None, None, :] < nw_np[:, :, None]
     tails = coder_ops.flush_bytes(coder["x1"], coder["x2"])
     payloads = [
-        codes_np[s, : int(coder["wpos"][s])].tobytes() + tails[s] for s in range(S)
+        win_np[:, s][mask[:, s]].tobytes() + tails[s] for s in range(S)
     ]
     header = MAGIC + struct.pack(
         "<BBHQQQQ", VERSION, 0, S, orig, per, spec.stable_hash(), 0

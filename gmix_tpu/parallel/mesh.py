@@ -87,7 +87,9 @@ def make_sharded_chunk_fn(
         raw,
         mesh=mesh,
         in_specs=(st_specs, P(axis), P(axis), P(), P()),
-        out_specs=(st_specs, P(axis), P(axis)),
+        # (state, data, code, win, nw): the coder scan outputs carry the
+        # stream axis second (chunk-major)
+        out_specs=(st_specs, P(axis), P(axis), P(None, axis), P(None, axis)),
         check_rep=False,
     )
     return jax.jit(fn, donate_argnums=(0, 1, 2))

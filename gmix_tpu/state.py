@@ -185,10 +185,6 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
         "x": jnp.zeros((S,), u32),
         "wpos": jnp.zeros((S,), u32),
         "rpos": jnp.zeros((S,), u32),
-        # sticky encoder-overflow flag: set when a renorm byte would land past
-        # the code buffer's capacity (writes are dropped); asserted at flush
-        # so an overflow raises instead of producing a corrupt archive
-        "ovf": jnp.zeros((S,), u32),
     }
 
     # metrics: cumulative cross-entropy (bits) + per-column analysis EMA

@@ -47,7 +47,9 @@ def _compress_with_restart(tmp_path, via_copy: bool):
     data_buf = jnp.asarray(arr)
     code_buf = jnp.zeros((1, cap), jnp.uint8)
     half = (per // 2 // CHUNK) * CHUNK
-    data_buf, code_buf = run_chunks(pred, data_buf, code_buf, half, decode=False, chunk=CHUNK)
+    data_buf, code_buf, body_a = run_chunks(
+        pred, data_buf, code_buf, half, decode=False, chunk=CHUNK
+    )
 
     if via_copy:
         pred2 = pred.copy()
@@ -61,15 +63,14 @@ def _compress_with_restart(tmp_path, via_copy: bool):
         pred2.save(ck2)
         assert open(ck, "rb").read() == open(ck2, "rb").read()
 
-    data_buf, code_buf = run_chunks(
+    data_buf, code_buf, body_b = run_chunks(
         pred2, data_buf, code_buf, per - half, decode=False, t0=half, chunk=CHUNK
     )
     from gmix_tpu.ops import coder as coder_ops
 
     coder = jax.device_get(pred2.state["coder"])
-    codes = np.asarray(jax.device_get(code_buf))
     tail = coder_ops.flush_bytes(coder["x1"], coder["x2"])[0]
-    return codes[0, : int(coder["wpos"][0])].tobytes() + tail
+    return body_a[0] + body_b[0] + tail
 
 
 def _compress_oneshot():
@@ -120,13 +121,13 @@ def test_decompression_with_restart(tmp_path):
     data_buf = jnp.zeros((1, per), jnp.uint8)
     code_buf = jnp.asarray(codes)
     half = (per // 2 // CHUNK) * CHUNK
-    data_buf, code_buf = run_chunks(pred, data_buf, code_buf, half, decode=True, chunk=CHUNK)
+    data_buf, code_buf, _ = run_chunks(pred, data_buf, code_buf, half, decode=True, chunk=CHUNK)
 
     ck = os.path.join(str(tmp_path), "dck.gxt")
     pred.save(ck)
     pred2 = Predictor(spec, 1)
     pred2.load(ck)
-    data_buf, code_buf = run_chunks(
+    data_buf, code_buf, _ = run_chunks(
         pred2, data_buf, code_buf, per - half, decode=True, t0=half, chunk=CHUNK
     )
     out = np.asarray(jax.device_get(data_buf)).reshape(-1)[:orig].tobytes()
@@ -175,7 +176,6 @@ def test_pretrained_warmstart_improves():
         "x": jnp.zeros((1,), jnp.uint32),
         "wpos": jnp.zeros((1,), jnp.uint32),
         "rpos": jnp.zeros((1,), jnp.uint32),
-        "ovf": jnp.zeros((1,), jnp.uint32),
     }
     warm.state["metrics"] = jax.tree_util.tree_map(
         jnp.zeros_like, warm.state["metrics"]

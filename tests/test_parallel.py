@@ -65,7 +65,7 @@ def test_broadcast_pretrained():
 
     p8.state["coder"] = {k: jnp.zeros((8,), jnp.uint32) if k != "x2"
                          else jnp.full((8,), 0xFFFFFFFF, jnp.uint32)
-                         for k in ("x1", "x2", "x", "wpos", "rpos", "ovf")}
+                         for k in ("x1", "x2", "x", "wpos", "rpos")}
     p8.state["metrics"] = jax.tree_util.tree_map(jnp.zeros_like, p8.state["metrics"])
     blob = compress_bytes(data, spec, 8, 64, pred=p8)
     from gmix_tpu.core.codec import decompress_bytes
@@ -77,7 +77,7 @@ def test_broadcast_pretrained():
     # needs a fresh coder (decompress_bytes then primes x and rpos itself)
     pd.state["coder"] = {k: jnp.zeros((8,), jnp.uint32) if k != "x2"
                          else jnp.full((8,), 0xFFFFFFFF, jnp.uint32)
-                         for k in ("x1", "x2", "x", "wpos", "rpos", "ovf")}
+                         for k in ("x1", "x2", "x", "wpos", "rpos")}
     pd.state["metrics"] = jax.tree_util.tree_map(jnp.zeros_like, pd.state["metrics"])
     # fresh coder regs for decode priming are set inside decompress_bytes
     out = decompress_bytes(blob, spec, chunk=64, pred=pd)

@@ -201,7 +201,7 @@ def test_roll_hash_invariant():
     st = init_state(meta, 1)
     db = jnp.asarray(data)
     cb = jnp.zeros((1, 4096), jnp.uint8)
-    st, db, cb = fn(st, db, cb, jnp.int32(0), jnp.asarray(False))
+    st, db, cb, _w, _n = fn(st, db, cb, jnp.int32(0), jnp.asarray(False))
     stm = st["stm"]
     # boundary work for byte t runs at the START of step t, so after the chunk
     # the roll state covers bytes [0, chunk-1) (the last byte is not yet shifted)

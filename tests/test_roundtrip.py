@@ -45,22 +45,32 @@ def test_roundtrip_empty_and_tiny_inputs():
         assert g.decompress_bytes(blob, spec, chunk=128) == data
 
 
-def test_code_buffer_overflow_raises():
-    """An undersized code buffer must raise, never silently drop output
-    bytes (the coder keeps a sticky per-stream overflow flag checked at the
-    end of the run)."""
+def test_encode_output_is_unbounded_by_code_buf():
+    """The encoder's renorm bytes leave the scan as dense per-byte outputs
+    (codec.run_chunks), so encoding cannot overflow a device buffer: a
+    minimal code_buf produces the identical payload as a full-size one.
+    (The pre-round-4 design scattered into code_buf and needed a sticky
+    overflow flag; this test replaces the old overflow-raises test.)"""
     import jax.numpy as jnp
 
-    from gmix_tpu.core.codec import Predictor, run_chunks
+    from gmix_tpu.core.codec import Predictor, _pad_streams, run_chunks
 
     spec = g.tiny_spec(with_lstm=False)
     rng = np.random.RandomState(42)
-    data = np.frombuffer(rng.bytes(1024), np.uint8).reshape(1, 1024)
-    pred = Predictor(spec, 1)
-    data_buf = jnp.asarray(data)
-    code_buf = jnp.zeros((1, 64), jnp.uint8)  # ~16x too small for random data
-    with pytest.raises(RuntimeError, match="overflow"):
-        run_chunks(pred, data_buf, code_buf, 1024, decode=False, chunk=128)
+    data = rng.bytes(1024)
+    arr, per = _pad_streams(data, 1, 128)
+
+    def encode(cap):
+        pred = Predictor(spec, 1)
+        _, _, bodies = run_chunks(
+            pred, jnp.asarray(arr), jnp.zeros((1, cap), jnp.uint8), per,
+            decode=False, chunk=128,
+        )
+        return bodies[0]
+
+    big = encode(4096)
+    small = encode(8)
+    assert big == small and len(big) > 900  # random data is incompressible
 
 
 def test_entropy_reported():

@@ -91,8 +91,9 @@ def test_bit_scan_instantiations_identical():
             db = jnp.asarray(data)
             cb = jnp.zeros((1, 4096), jnp.uint8)
             outs.append(fn(st, db, cb, jnp.int32(0), jnp.asarray(False)))
-    (st_a, db_a, cb_a), (st_b, db_b, cb_b) = outs
-    assert np.array_equal(np.asarray(cb_a), np.asarray(cb_b))
+    (st_a, db_a, cb_a, w_a, n_a), (st_b, db_b, cb_b, w_b, n_b) = outs
+    assert np.array_equal(np.asarray(w_a), np.asarray(w_b))
+    assert np.array_equal(np.asarray(n_a), np.asarray(n_b))
     assert np.array_equal(np.asarray(db_a), np.asarray(db_b))
     for (pa, a), (_, b) in zip(
         jax.tree_util.tree_leaves_with_path(st_a),

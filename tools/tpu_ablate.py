@@ -84,11 +84,11 @@ def run(name, streams, chunk=int(os.environ.get("GMIX_ABLATE_CHUNK", 256))):
     fn = pred.chunk_fn(chunk)
     dec = jnp.asarray(False)
     t0 = time.time()
-    state, data_buf, code_buf = fn(pred.state, data_buf, code_buf, jnp.int32(0), dec)
+    state, data_buf, code_buf, _w, _n = fn(pred.state, data_buf, code_buf, jnp.int32(0), dec)
     jax.block_until_ready(state["metrics"]["ent"])
     compile_s = time.time() - t0
     t0 = time.time()
-    state, data_buf, code_buf = fn(state, data_buf, code_buf, jnp.int32(chunk), dec)
+    state, data_buf, code_buf, _w, _n = fn(state, data_buf, code_buf, jnp.int32(chunk), dec)
     jax.block_until_ready(state["metrics"]["ent"])
     dt = time.time() - t0
     print(f"{name:12s} S={streams:4d} compile={compile_s:6.1f}s "

@@ -43,7 +43,7 @@ def run(streams: int, spec, chunk: int):
     fn = pred.chunk_fn(chunk)
     dec = jnp.asarray(False)
 
-    state, data_buf, code_buf = fn(pred.state, data_buf, code_buf, jnp.int32(0), dec)
+    state, data_buf, code_buf, _w, _n = fn(pred.state, data_buf, code_buf, jnp.int32(0), dec)
     jax.block_until_ready(state["metrics"]["ent"])
 
     # cost analysis of the compiled executable
@@ -64,7 +64,7 @@ def run(streams: int, spec, chunk: int):
     t0 = time.time()
     reps = 2
     for r in range(1, 1 + reps):
-        state, data_buf, code_buf = fn(state, data_buf, code_buf, jnp.int32(chunk * r), dec)
+        state, data_buf, code_buf, _w, _n = fn(state, data_buf, code_buf, jnp.int32(chunk * r), dec)
     jax.block_until_ready(state["metrics"]["ent"])
     dt = (time.time() - t0) / reps
     if trace_dir:

@@ -30,13 +30,13 @@ def run(streams, spec, chunk):
     fn = pred.chunk_fn(chunk)
     dec = jnp.asarray(False)
     t_c0 = time.time()
-    state, data_buf, code_buf = fn(pred.state, data_buf, code_buf, jnp.int32(0), dec)
+    state, data_buf, code_buf, _w, _n = fn(pred.state, data_buf, code_buf, jnp.int32(0), dec)
     jax.block_until_ready(state["metrics"]["ent"])
     compile_s = time.time() - t_c0
     t0 = time.time()
     reps = 2
     for r in range(1, 1 + reps):
-        state, data_buf, code_buf = fn(state, data_buf, code_buf, jnp.int32(chunk * r), dec)
+        state, data_buf, code_buf, _w, _n = fn(state, data_buf, code_buf, jnp.int32(chunk * r), dec)
     jax.block_until_ready(state["metrics"]["ent"])
     dt = (time.time() - t0) / reps
     mbps = streams * chunk / dt / 1e6
