@@ -208,7 +208,7 @@ def main(argv=None):
         prompt = open(args.prompt, "rb").read()
         pred = Predictor(spec, args.streams, args.seed)
         pred.load(args.checkpoint)
-        out = generate_bytes(pred, prompt[:-1] if prompt else prompt, args.size,
+        out = generate_bytes(pred, prompt, args.size,
                              args.temperature, chunk=min(args.chunk, 256))
         open(args.output, "wb").write(out)
         print(f"generated {len(out)} bytes in {time.time()-t0:.1f}s")

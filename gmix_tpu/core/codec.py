@@ -325,20 +325,31 @@ def generate_bytes(
     chunk: int = 256,
     seed: int = 1234,
     progress=None,
-) -> bytes:
+    return_all: bool = False,
+):
     """Learning-disabled temperature sampling (runner-utils.cpp:158-221).
 
     The prompt is replayed WITH learning (the reference learns during the
     prompt, runner-utils.cpp:187-194); sampling then runs with every Learn
     gated off, so long-term memory is provably frozen (tester invariant 5).
-    Batched: generates num_streams independent samples; returns stream 0's
-    bytes (all samples are available via the returned data buffer if needed).
+
+    The replay buffer is padded at the FRONT to a chunk multiple, so the
+    prompt's last byte sits exactly at the boundary where sampling starts:
+    the model's recency state (recent bytes, contexts, match pointers) at the
+    first sampled byte reflects the true prompt tail, not padding. (Leading
+    zero-padding perturbs only the cold-start phase of the replay; this is
+    the documented deviation from the reference's exact-length replay.)
+
+    Batched: generates num_streams independent samples. Returns stream 0's
+    bytes, or all streams' as a list with return_all=True.
     """
     S = pred.num_streams
     temperature = max(temperature, 0.001)
     # --- prompt replay (encode mode, learning on; code output discarded) ---
     if prompt:
-        arr, per = _pad_streams(prompt, 1, chunk)
+        per = -(-len(prompt) // chunk) * chunk
+        arr = np.zeros((1, per), np.uint8)
+        arr[0, per - len(prompt):] = np.frombuffer(prompt, np.uint8)
         arr = np.broadcast_to(arr, (S, per)).copy()
         cap = int(per * 2 + _WORST_PER_BYTE * chunk + 4096)
         data_buf = jnp.asarray(arr)
@@ -360,6 +371,8 @@ def generate_bytes(
         if progress is not None:
             progress(t - t0 + chunk)
     out = np.asarray(jax.device_get(data_buf))
+    if return_all:
+        return [out[s, t0 : t0 + out_size].tobytes() for s in range(S)]
     return out[0, t0 : t0 + out_size].tobytes()
 
 

@@ -32,7 +32,9 @@ from typing import Any, Dict
 import jax
 import numpy as np
 
-CKPT_VERSION = 2
+# v3: the coder's sticky overflow flag left the state pytree (encoder renorm
+# bytes now exit as scan outputs and cannot overflow a device buffer)
+CKPT_VERSION = 3
 _COMMENT_PREFIX = b"gmix-tpu-ckpt v"
 SPARSE_THRESHOLD = 0.75  # dominant-value fraction above which a leaf goes sparse
 SPARSE_MIN_BYTES = 1 << 20  # don't bother below 1 MiB

@@ -54,9 +54,68 @@ def _old_ppm():
     )
 
 
-def make_variant(name: str):
-    from gmix_tpu.config import reference_spec, scale_tables
+def _boost118():
+    """The round-3 measured-best table sizing (boost-1-18): +1 bit on every
+    indirect table (cap 18), hashed PPM orders at 18 bits."""
+    from gmix_tpu.config import reference_spec
 
+    spec = reference_spec()
+    return dataclasses.replace(
+        spec,
+        indirects=tuple(
+            dataclasses.replace(m, table_bits=min(m.table_bits + 1, 18))
+            for m in spec.indirects
+        ),
+        ppm=dataclasses.replace(
+            spec.ppm,
+            orders=tuple(
+                dataclasses.replace(o, table_bits=18) if o.table_bits >= 16 else o
+                for o in spec.ppm.orders
+            ),
+        ),
+    )
+
+
+def make_variant(name: str):
+    from gmix_tpu.config import ApmStage, PpmOrder, reference_spec, scale_tables
+
+    if name.startswith("apm"):
+        # apm-<lr_milli>-<wgt_pct>-<tb>x<S>: boost-1-18 + one SSE/APM stage
+        # gated on last_byte; apm2-...: + a second stage on h2 (tb+8 bits,
+        # half weight). The model lever for the <=-reference bar (VERDICT r3
+        # ask #2): one extra arena row per stage per byte.
+        two = name.startswith("apm2")
+        body = name.split("-", 1)[1]
+        lr_milli, wgt_pct, rest = body.split("-")
+        tb, S = rest.split("x")
+        lr, wgt, tb = int(lr_milli) / 1000.0, int(wgt_pct) / 100.0, int(tb)
+        stages = (ApmStage("apm_lb", "last_byte", tb, lr=lr, weight=wgt),)
+        if two:
+            stages += (ApmStage("apm_h2", "h2", tb + 8, lr=lr, weight=wgt / 2),)
+        spec = dataclasses.replace(_boost118(), apm=stages)
+        spec.validate()
+        return spec, int(S)
+    if name.startswith("shallowppm"):
+        # shallowppm-<bits>x<S>: scaled profile with the round-2 SHALLOW
+        # order set but the round-3 mechanisms (SEE, exclusion, update
+        # exclusion) kept ON - deconfounds order set vs mechanisms for the
+        # budget-adaptive PPM decision (VERDICT r3 weak #4)
+        bits, S = name.split("-")[1].split("x")
+        bits = int(bits)
+        spec = scale_tables(reference_spec(), bits, history_bits=min(24, bits + 4))
+        spec = dataclasses.replace(
+            spec,
+            ppm=dataclasses.replace(
+                spec.ppm,
+                orders=tuple(
+                    PpmOrder(c, min(b, bits))
+                    for c, b in (("last_byte", 8), ("h2", 16), ("h3", 16),
+                                 ("h4", 16), ("h6", 16))
+                ),
+            ),
+        )
+        spec.validate()
+        return spec, int(S)
     if name.startswith("boost"):
         # boost-<ind_add>-<ppm_bits>x<S>: reference wiring with indirect
         # tables raised by ind_add bits (cap 18) and hashed PPM orders raised
