@@ -25,6 +25,11 @@ MAX_SKIP = 8  # skip contexts hash at most 8 recent bytes (skip-context.h)
 ROLL_BASE = 0x01000193  # rolling-hash base: FNV-32 prime (odd -> bijective mult)
 APM_BINS = 33  # SSE/APM probability-quantization bins per bit position
 APM_SPAN = 16.0  # bins cover logit(p) in [-APM_SPAN, APM_SPAN]
+# PPM rows carry 256 symbol counts + the owner tag in lane PPM_TAG_LANE,
+# padded to PPM_ROW_W u16 lanes (physical layout pads the minor dim to the
+# 128-lane tile anyway, so the extra lanes are free)
+PPM_TAG_LANE = 256
+PPM_ROW_W = 272
 
 
 def _round_up(x: int, m: int) -> int:

@@ -61,7 +61,7 @@ from ..ops.rowmove import gather_rows, scatter_rows
 from ..ops.murmur import murmur3_u32, murmur3_u64
 from ..ops.sigmoid import clamp_prob, logistic, logit
 from ..ops.tables import nonstationary_table, run_map_table
-from .meta import APM_BINS, APM_SPAN, Meta, ROLL_BASE
+from .meta import APM_BINS, APM_SPAN, Meta, PPM_ROW_W, PPM_TAG_LANE, ROLL_BASE
 
 F32 = jnp.float32
 U32 = jnp.uint32
@@ -181,23 +181,25 @@ def _ppm_rows(stm: Dict, ctx: jnp.ndarray, meta: Meta):
     """Row indices, gathered count rows, context tags, stored tags, and the
     tag-match mask of the PPM arena for the current contexts.
 
-    Rows are TAG-VERIFIED: each row stores the high hash byte of the context
-    that owns it (stm["ppm_tag"]); a mismatch means a hash collision and the
-    row reads as empty (and is reclaimed on update). This turns the hashed
+    Rows are TAG-VERIFIED: lane PPM_TAG_LANE of each row stores the high hash
+    byte of the context that owns it; a mismatch means a hash collision and
+    the row reads as empty (and is reclaimed on update). This turns the hashed
     tables into 1-way caches - collisions become evictions instead of
     histogram pollution, which is what lets hashed fixed-order tables stand in
     for the reference's exact 2 GB suffix tree (mod_ppmd.cpp:126-330) at deep
-    orders."""
+    orders. The tag RIDES IN THE ROW (lane 256 of the widened row) instead of
+    a separate (S, rows) array: a TPU element scatter costs as much as a full
+    row scatter (~68-98 ns, tools/tpu_scatter_width_bench.py), so folding the
+    tag into the row write removes one scatter call + S*NO rows per byte."""
     S = ctx.shape[0]
     cv = ctx[:, jnp.asarray(meta.ppm_slots)]
     h = _iar(cv & jnp.asarray(meta.ppm_masks)[None, :])
     h = h + jnp.asarray(meta.ppm_row_offsets)[None, :]
-    s_ix = jnp.arange(S)[:, None]
-    raw_rows = gather_rows(stm["ppm_tbl"], h)
-    my_tag = ((cv >> U32(24)) & U32(255)).astype(jnp.uint8)
-    old_tag = stm["ppm_tag"][s_ix, h]
+    raw_rows = gather_rows(stm["ppm_tbl"], h)  # (S, NO, PPM_ROW_W)
+    my_tag = ((cv >> U32(24)) & U32(255)).astype(jnp.uint16)
+    old_tag = raw_rows[:, :, PPM_TAG_LANE]
     tag_ok = my_tag == old_tag
-    rows = jnp.where(tag_ok[:, :, None], raw_rows, jnp.uint16(0))
+    rows = jnp.where(tag_ok[:, :, None], raw_rows[:, :, :256], jnp.uint16(0))
     return h, rows, my_tag, old_tag, tag_ok, raw_rows
 
 
@@ -287,13 +289,15 @@ def _ppm_update(stm: Dict, completed: jnp.ndarray, meta: Meta) -> Dict:
     rows_i = jnp.where((tot_i > sp.rescale_total)[:, :, None], (rows_i + 1) >> 1, rows_i)
     # updated rows are (re)claimed for this context's tag; untouched rows keep
     # their owner's counts and tag (`rows` already reads 0 on tag mismatch, so
-    # a reclaimed row starts from just the observed byte)
-    s_ix = jnp.arange(S)[:, None]
-    rows_w = jnp.where(inc_on[:, :, None], rows_i.astype(jnp.uint16), raw_rows)
+    # a reclaimed row starts from just the observed byte). Counts + tag ride
+    # one widened row write (see _ppm_rows).
+    counts_w = jnp.where(inc_on[:, :, None], rows_i.astype(jnp.uint16), raw_rows[:, :, :256])
     tag_w = jnp.where(inc_on, my_tag, old_tag)
-    tbl = scatter_rows(stm["ppm_tbl"], h, rows_w)
-    tags = stm["ppm_tag"].at[s_ix, h].set(tag_w, unique_indices=True)
-    return _set(stm, ppm_tbl=tbl, ppm_tag=tags, ppm_see=see)
+    NO_w = counts_w.shape[1]
+    pad = jnp.zeros((S, NO_w, PPM_ROW_W - 257), jnp.uint16)
+    full_w = jnp.concatenate([counts_w, tag_w[:, :, None], pad], axis=2)
+    tbl = scatter_rows(stm["ppm_tbl"], h, full_w)
+    return _set(stm, ppm_tbl=tbl, ppm_see=see)
 
 
 def _ppm_predict(stm: Dict, meta: Meta) -> Dict:

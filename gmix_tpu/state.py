@@ -109,10 +109,12 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
     # serialized as short-term state and keeps updating during generation
     # (mod_ppmd.cpp:1-6, tester.cpp:358-366) ---
     if spec.ppm is not None:
-        stm["ppm_tbl"] = jnp.zeros((S, meta.ppm_total_rows, 256), jnp.uint16)
-        # owner tag (high hash byte) per row: collisions read as empty rows
-        # and are reclaimed on update (see core.step._ppm_rows)
-        stm["ppm_tag"] = jnp.zeros((S, meta.ppm_total_rows), jnp.uint8)
+        from .core.meta import PPM_ROW_W
+
+        # widened rows: 256 counts + the owner tag at lane 256 (collisions
+        # read as empty rows and are reclaimed on update - the tag rides the
+        # row so no separate element scatter is needed; core.step._ppm_rows)
+        stm["ppm_tbl"] = jnp.zeros((S, meta.ppm_total_rows, PPM_ROW_W), jnp.uint16)
         stm["ppm_top"] = jnp.full((S,), 255, i32)
         stm["ppm_bot"] = jnp.zeros((S,), i32)
         stm["ppm_mid"] = jnp.full((S,), 127, i32)

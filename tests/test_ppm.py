@@ -86,12 +86,15 @@ def _device_ppm_fixture(seed=0, matching_tags=True):
     S = 2
     st = init_state(meta, S)
     rng = np.random.RandomState(seed)
+    from gmix_tpu.core.meta import PPM_ROW_W, PPM_TAG_LANE
+
     stm = dict(st["stm"])
-    # random-but-plausible table contents, contexts, and SEE state
-    stm["ppm_tbl"] = jnp.asarray(
-        rng.binomial(1, 0.1, (S, meta.ppm_total_rows, 256)).astype(np.uint16)
-        * rng.randint(1, 300, (S, meta.ppm_total_rows, 256)).astype(np.uint16)
-    )
+    # random-but-plausible table contents, contexts, and SEE state; the owner
+    # tag rides in row lane PPM_TAG_LANE
+    tbl = np.zeros((S, meta.ppm_total_rows, PPM_ROW_W), np.uint16)
+    tbl[:, :, :256] = rng.binomial(1, 0.1, (S, meta.ppm_total_rows, 256)).astype(
+        np.uint16
+    ) * rng.randint(1, 300, (S, meta.ppm_total_rows, 256)).astype(np.uint16)
     ctx = rng.randint(0, 2**31, (S, meta.n_ctx)).astype(np.uint32)
     stm["ctx"] = jnp.asarray(ctx)
     stm["ppm_see"] = jnp.asarray(
@@ -102,10 +105,9 @@ def _device_ppm_fixture(seed=0, matching_tags=True):
         # addressed row its context's tag so the rows read as live
         cv = ctx[:, meta.ppm_slots]
         h = (cv & meta.ppm_masks[None, :]).astype(np.int64) + meta.ppm_row_offsets[None, :]
-        tags = np.zeros((S, meta.ppm_total_rows), np.uint8)
         for s in range(S):
-            tags[s, h[s]] = ((cv[s] >> 24) & 255).astype(np.uint8)
-        stm["ppm_tag"] = jnp.asarray(tags)
+            tbl[s, h[s], PPM_TAG_LANE] = ((cv[s] >> 24) & 255).astype(np.uint16)
+    stm["ppm_tbl"] = jnp.asarray(tbl)
     return spec, meta, stm
 
 
@@ -138,7 +140,7 @@ def test_ppm_update_matches_scalar():
     see_after = np.asarray(out["ppm_see"])
     for s, c in ((0, c0), (1, c1)):
         want_rows, want_see = _scalar_update(rows_before[s], see_before[s], sp, c)
-        got_rows = tbl_after[s][h[s]]
+        got_rows = tbl_after[s][h[s]][:, :256]
         np.testing.assert_array_equal(got_rows, want_rows.astype(np.uint16))
         np.testing.assert_allclose(see_after[s], want_see, rtol=1e-5, atol=1e-7)
 
@@ -176,11 +178,13 @@ def test_ppm_tag_collision_reads_empty_and_reclaims():
     h = np.asarray(_ppm_rows(stm, stm["ctx"], meta)[0])
     completed = jnp.asarray(np.array([77, 200], np.uint32))
     upd = jax.jit(lambda s, c: _ppm_update(s, c, meta))(stm, completed)
+    from gmix_tpu.core.meta import PPM_TAG_LANE
+
     cv = np.asarray(stm["ctx"])[:, meta.ppm_slots]
-    want_tag = ((cv >> 24) & 255).astype(np.uint8)
+    want_tag = ((cv >> 24) & 255).astype(np.uint16)
     for s, c in ((0, 77), (1, 200)):
-        got_rows = np.asarray(upd["ppm_tbl"])[s][h[s]]
-        got_tags = np.asarray(upd["ppm_tag"])[s][h[s]]
+        got_rows = np.asarray(upd["ppm_tbl"])[s][h[s]][:, :256]
+        got_tags = np.asarray(upd["ppm_tbl"])[s][h[s]][:, PPM_TAG_LANE]
         np.testing.assert_array_equal(got_tags, want_tag[s])
         want = np.zeros((len(sp.orders), 256), np.uint16)
         want[:, c] = sp.inc

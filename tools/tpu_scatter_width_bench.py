@@ -78,6 +78,41 @@ def main():
     elif which == "elem":
         for W in (1, 2, 8):
             run(40, W, np.uint32, 1, "narrow/element")
+    elif which == "mode":
+        main_mode()
+
+
+
+
+def run_mode(K, W, dtype, mode, label=""):
+    rng = np.random.default_rng(0)
+    T = min(2048, (3 << 30) // (S * K * W * np.dtype(dtype).itemsize))
+    base = (np.arange(K) * T)[None, :]
+    idx0 = jnp.asarray(base + rng.integers(0, T, (S, K)), jnp.int32)
+    upd = jnp.asarray(rng.integers(0, 100, (S, K, W)).astype(dtype))
+    s_ix = jnp.arange(S)[:, None]
+    rows = S * K
+
+    def body(w, i):
+        idx = (idx0 + i * 7) % T + jnp.asarray(base, jnp.int32)
+        kw = {"unique_indices": True}
+        if mode:
+            kw["mode"] = mode
+        return w.at[s_ix, idx].set(upd, **kw)
+
+    dt = timeit(body, jnp.zeros((S, K * T, W), dtype))
+    print(
+        f"{label:34s} K={K:3d} W={W:4d} mode={mode or 'default':20s}"
+        f" {dt*1e6:9.1f} us  {dt/rows*1e9:7.1f} ns/row",
+        flush=True,
+    )
+
+
+def main_mode():
+    for mode in (None, "promise_in_bounds", "drop"):
+        run_mode(80, 128, np.float32, mode, "bounds-mode sweep")
+    run_mode(41, 640, np.uint16, "promise_in_bounds", "fused-row width")
+    run_mode(41, 256, np.uint16, "promise_in_bounds", "ind-row u16")
 
 
 if __name__ == "__main__":
