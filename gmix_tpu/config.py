@@ -128,13 +128,24 @@ class MatchModel:
 
 @dataclass(frozen=True)
 class MixerModel:
-    """One gated-linear mixer unit (src/mixer/mixer.cpp). Table size 1<<table_bits."""
+    """One gated-linear mixer unit (src/mixer/mixer.cpp). Table size 1<<table_bits.
+
+    `pos=True` gates the unit on (ctx, bit position): the weight row for a
+    byte-stable ctx is an 8-sub-row block, one per bit position of the byte.
+    This is the TPU-native redesign of the reference's bit-varying mixer
+    gates (bit_ctx / lb_recent / slb_recent, predictor.cpp:262-356): a
+    bit-prefix-gated table needs a fresh scattered row EVERY BIT (8 scalar-
+    core serialized scatters per byte, the single largest cost block in the
+    round-3 step), while a position block moves once per byte. The dropped
+    bit-prefix information is re-supplied to every mixer as linear input
+    features (EnsembleSpec.prefix_inputs)."""
 
     name: str
     ctx: str
     lr: float
     layer: int  # 0, 1, or 2 (final)
     table_bits: int
+    pos: bool = False
 
 
 @dataclass(frozen=True)
@@ -244,6 +255,11 @@ class EnsembleSpec:
     history_bits: int = 24  # dedup history ring size (reference: unbounded)
     roll_ctxs: Tuple[RollHashCtx, ...] = ()  # deep-order rolling-hash contexts
     apm: Tuple[ApmStage, ...] = ()  # SSE/APM final-probability stages
+    # feed the current byte's known bit prefix (+-1 per seen bit position,
+    # 0 for unseen) as 8 extra input lanes to every mixer - the linear-input
+    # form of the bit-prefix information that position-gated mixers
+    # (MixerModel.pos) no longer carry in their gate
+    prefix_inputs: bool = True
 
     @property
     def use_ppm(self) -> bool:
@@ -304,15 +320,17 @@ class EnsembleSpec:
         return tuple(m for m in self.mixers if m.layer == layer)
 
     def mixer_width(self, layer: int) -> int:
-        """Unpadded input width of a layer's weight vectors (mixer.cpp:17-26)."""
+        """Unpadded input width of a layer's weight vectors (mixer.cpp:17-26),
+        plus the 8 prefix-input lanes when enabled."""
         n0 = len(self.mixers_in_layer(0))
         n1 = len(self.mixers_in_layer(1))
         ns = len(self.skip_connection_cols)
+        pf = 8 if self.prefix_inputs else 0
         if layer == 0:
-            return self.num_predictions + n0
+            return self.num_predictions + n0 + pf
         if layer == 1:
-            return n0 + n1 + ns
-        return n0 + n1 + ns
+            return n0 + n1 + ns + pf
+        return n0 + n1 + ns + pf
 
     def validate(self) -> None:
         names = set(self.ctx_names())
@@ -322,9 +340,20 @@ class EnsembleSpec:
             for o in self.ppm.orders:
                 assert o.ctx in names, f"unknown context {o.ctx!r} in ppm"
         assert len(self.mixers_in_layer(2)) == 1, "exactly one final mixer required"
-        # bit-varying contexts live in registers inside the bit sub-steps;
-        # only mixers are wired to read them there (the per-byte kernels
-        # assume every other gating context is byte-stable)
+        # the only bit-varying mixer gate is longest_match (a small table
+        # kept dense-resident); the reference's other bit-varying gates are
+        # expressed as position-gated mixers on byte-stable contexts
+        # (MixerModel.pos) instead
+        for m in self.mixers:
+            assert m.ctx not in {"bit_ctx", "lb_recent", "slb_recent"}, (
+                f"{m.name}: bit-prefix mixer gates are expressed as pos=True "
+                "on the byte-stable base context (see MixerModel.pos)"
+            )
+            if m.ctx == "longest_match":
+                assert m.table_bits <= 5 and not m.pos, (
+                    f"{m.name}: longest_match mixers are dense-resident "
+                    "(table_bits <= 5, pos unsupported)"
+                )
         vary = {"bit_ctx", "lb_recent", "slb_recent", "longest_match"}
         for m in list(self.indirects) + list(self.matches):
             assert m.ctx not in vary, (
@@ -458,13 +487,19 @@ def reference_spec() -> EnsembleSpec:
         MatchModel("match_5b", "h5", 21),
         MatchModel("match_6b", "h6", 21),
     )  # predictor.cpp:187-208
-    mixers = tuple(
-        MixerModel(f"mix0_{i}", ctx, lr, 0, tb)
-        for i, (ctx, lr, tb) in enumerate(
+    def _mk(prefix, layer, rows):
+        out = []
+        for i, row in enumerate(rows):
+            ctx, lr, tb = row[:3]
+            pos = bool(row[3]) if len(row) > 3 else False
+            out.append(MixerModel(f"{prefix}{i}", ctx, lr, layer, tb, pos=pos))
+        return tuple(out)
+
+    mixers = _mk("mix0_", 0,
             (
                 ("last_byte", 0.005, 8),
                 ("recent_3", 0.0055, 8),
-                ("slb_recent", 0.003, 16),
+                ("recent_1", 0.003, 8, True),  # was slb_recent (2nd-last-byte x bit prefix)
                 ("h4", 0.0045, 15),
                 ("ih_3_24_1", 0.006, 8),
                 ("recent_1", 0.004, 8),
@@ -473,7 +508,7 @@ def reference_spec() -> EnsembleSpec:
                 ("recent_2", 0.0065, 8),
                 ("h3", 0.0025, 15),
                 ("last_byte", 0.001, 8),
-                ("lb_recent", 0.002, 16),
+                ("last_byte", 0.002, 8, True),  # was lb_recent (last-byte x bit prefix)
                 ("int_16_4", 0.005, 4),
                 ("int_16_8", 0.0045, 8),
                 ("int_16_12", 0.0055, 12),
@@ -487,21 +522,17 @@ def reference_spec() -> EnsembleSpec:
                 ("lstm_ctx", 0.002, 8),
                 ("zero", 0.0005, 0),
             )
-        )
-    ) + tuple(
-        MixerModel(f"mix1_{i}", ctx, lr, 1, tb)
-        for i, (ctx, lr, tb) in enumerate(
+    ) + _mk("mix1_", 1,
             (
                 ("recent_1", 0.0045, 8),
                 ("zero", 0.0035, 0),
-                ("bit_ctx", 0.003, 8),
+                ("zero", 0.003, 0, True),  # was bit_ctx
                 ("recent_2", 0.002, 8),
                 ("last_byte", 0.0025, 8),
-                ("bit_ctx", 0.00001, 8),
+                ("zero", 0.00001, 0, True),  # was bit_ctx
                 ("longest_match", 0.0008, 3),
                 ("zero", 0.0004, 0),
             )
-        )
     ) + (
         MixerModel("mix_final", "zero", 0.0005, 2, 0),
     )  # predictor.cpp:251-358
@@ -580,7 +611,7 @@ def tiny_spec(with_lstm: bool = False) -> EnsembleSpec:
         MixerModel("mix0_1", "h2", 0.0035, 0, 8),
         MixerModel("mix0_2", "int_16_4", 0.005, 0, 4),
         MixerModel("mix0_3", "zero", 0.0005, 0, 0),
-        MixerModel("mix1_0", "bit_ctx", 0.003, 1, 8),
+        MixerModel("mix1_0", "zero", 0.003, 1, 0, pos=True),
         MixerModel("mix1_1", "zero", 0.0035, 1, 0),
         MixerModel("mix_final", "zero", 0.0005, 2, 0),
     )

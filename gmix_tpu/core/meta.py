@@ -30,6 +30,7 @@ APM_SPAN = 16.0  # bins cover logit(p) in [-APM_SPAN, APM_SPAN]
 # 128-lane tile anyway, so the extra lanes are free)
 PPM_TAG_LANE = 256
 PPM_ROW_W = 272
+DENSE_MAX = 16  # mixer tables up to this many rows stay dense-resident
 
 
 def _round_up(x: int, m: int) -> int:
@@ -67,30 +68,67 @@ class Meta:
     ind_nblocks: int
 
     # mixers, k-order = L0 spec order, then L1, then final (mixer.cpp).
-    # Mixers whose gating context only changes at byte boundaries ("stable",
-    # 27 of 33 in the reference wiring) have their weight rows gathered once
-    # per byte, updated in registers across the 8 bit sub-steps, and scattered
-    # back once per byte; only bit-varying-context mixers (bit_ctx, lb_recent,
-    # slb_recent, longest_match) pay a per-bit row gather/scatter. The
-    # per-row steps_ counter (mixer.cpp:8) lives bitcast into spare f32 lane
-    # `mix_step_lane` of each padded weight row, so it rides the same
-    # gather/scatter instead of a separate u32 arena.
-    mix_offsets: np.ndarray  # (K,) int32 row offsets into the row arena
-    mix_masks: np.ndarray  # (K,) uint32: (1 << tb) - 1
-    mix_ctx_slots: np.ndarray  # (K,) int32
-    mix_lrs: np.ndarray  # (K,) float32
-    mix_stable_ix: np.ndarray  # (Kst,) int32 k-indices with byte-stable ctx
-    mix_vary_ix: np.ndarray  # (Kv,) int32 k-indices with per-bit ctx
-    mix_vary_src: np.ndarray  # (Kv,) int32 index into the per-bit register
-    # stack [bit_ctx, lb_recent, slb_recent, longest_match] (the 4 and only 4
-    # bit-varying context kinds) - vary mixers read these registers directly
-    # instead of the ctx array, which then only needs one write per BYTE
-    mix_perm: np.ndarray  # (K,) int32: concat([stable, vary])[perm] = k-order
+    # Every mixer's working rows move between HBM and registers ONCE per
+    # byte; the per-bit work is pure register/vector math. Placement classes:
+    #
+    #   stable  byte-stable ctx, > DENSE_MAX rows: one arena row gathered per
+    #           byte, updated in registers across the 8 sub-steps, scattered
+    #           back at byte end.
+    #   pos     MixerModel.pos with tb > 0: an (8, WP) position block per
+    #           byte-stable ctx value, gathered/scattered as ONE wide row
+    #           (replaces the reference's bit-prefix-gated tables, whose 8
+    #           per-bit scatters were the largest cost block of the step).
+    #   cd      ctx-dense: byte-stable ctx, <= DENSE_MAX total rows: the
+    #           whole table is resident in the dense arena; the byte's row is
+    #           selected by one-hot, carried, and written back with a static
+    #           slice - no scatter at all.
+    #   pd      pos-dense: pos with tb == 0 (the bit_ctx mixers): a static
+    #           8-row block, static-sliced per byte.
+    #   lm      longest_match-gated: gate varies per bit, but the table is
+    #           tiny (<= 32 rows); the whole table is carried in registers
+    #           across the sub-steps and written back with a static slice.
+    #
+    # The per-row steps_ counter (mixer.cpp:8) lives bitcast into spare f32
+    # lane `mix_step_lane` of each padded weight row in every class.
+    mix_lrs: np.ndarray  # (K,) float32, k-order
     mix_n0: int
     mix_n1: int
     mix_width_pad: int
     mix_step_lane: int
-    mix_total_rows: int
+
+    mix_st_ix: np.ndarray  # (Kst,) k-indices of stable mixers
+    mix_st_offsets: np.ndarray  # (Kst,) row offsets into the stable arena
+    mix_st_masks: np.ndarray  # (Kst,) uint32
+    mix_st_slots: np.ndarray  # (Kst,) ctx slots
+    mix_total_rows: int  # stable arena rows
+
+    mix_pos_ix: np.ndarray  # (Kp,) k-indices of pos mixers (tb > 0)
+    mix_pos_offsets: np.ndarray  # (Kp,) GROUP offsets into the pos arena
+    mix_pos_masks: np.ndarray  # (Kp,) uint32
+    mix_pos_slots: np.ndarray  # (Kp,) ctx slots
+    mix_pos_groups: int  # pos arena groups (each 8 x WP)
+
+    mix_cd_ix: np.ndarray  # (Kcd,) k-indices of ctx-dense mixers
+    mix_cd_offsets: np.ndarray  # (Kcd,) row offsets into the dense arena
+    mix_cd_sizes: np.ndarray  # (Kcd,) table rows (1 << tb)
+    mix_cd_slots: np.ndarray  # (Kcd,) ctx slots
+
+    mix_pd_ix: np.ndarray  # (Kpd,) k-indices of pos-dense mixers
+    mix_pd_offsets: np.ndarray  # (Kpd,) row offsets (8 rows each)
+
+    mix_lm_ix: np.ndarray  # (Klm,) k-indices of longest_match mixers
+    mix_lm_offsets: np.ndarray  # (Klm,)
+    mix_lm_sizes: np.ndarray  # (Klm,)
+    mix_dense_total: int  # dense arena rows
+
+    # concat([stable, pos, cd, pd, lm])[mix_perm] = k-order
+    mix_perm: np.ndarray  # (K,) int32
+
+    # prefix-input lanes (spec.prefix_inputs): lane of the first of the 8
+    # prefix features in the L0 base vector and in the L1/final base vector
+    # (-1 when disabled)
+    prefix_lane0: int
+    prefix_lane12: int
 
     # match models, spec order (src/models/match.cpp)
     match_offsets: np.ndarray  # (NM,) int32
@@ -197,26 +235,48 @@ def build_meta(spec: EnsembleSpec) -> Meta:
     assert ind_nblocks * 256 < 2**31, "indirect arena exceeds int32 indexing"
     ind_lrs = np.array([m.lr for m in spec.indirects] * 2, np.float32)
 
-    # --- mixer row arena, k-order L0 | L1 | final ---
+    # --- mixer placement classes + arenas, k-order L0 | L1 | final (see the
+    # Meta field docs for the class definitions) ---
     mixers = (
         list(spec.mixers_in_layer(0)) + list(spec.mixers_in_layer(1)) + list(spec.mixers_in_layer(2))
     )
-    mix_offsets, mix_masks, mix_total_rows = _arena([m.table_bits for m in mixers])
     # +1 lane reserved for the bitcast steps counter
     width_pad = _round_up(max(spec.mixer_width(l) for l in range(3)) + 1, LANE)
-    vary_order = ("bit_ctx", "lb_recent", "slb_recent", "longest_match")
-    ctx_varies_per_bit = set(vary_order)
-    mix_stable_ix = np.array(
-        [k for k, m in enumerate(mixers) if m.ctx not in ctx_varies_per_bit], np.int32
+    st_ks, pos_ks, cd_ks, pd_ks, lm_ks = [], [], [], [], []
+    for k, m in enumerate(mixers):
+        if m.ctx == "longest_match":
+            lm_ks.append(k)
+        elif m.pos and m.table_bits == 0:
+            pd_ks.append(k)
+        elif m.pos:
+            pos_ks.append(k)
+        elif (1 << m.table_bits) <= DENSE_MAX:
+            cd_ks.append(k)
+        else:
+            st_ks.append(k)
+    mix_st_offsets, mix_st_masks, mix_total_rows = _arena(
+        [mixers[k].table_bits for k in st_ks]
     )
-    mix_vary_ix = np.array(
-        [k for k, m in enumerate(mixers) if m.ctx in ctx_varies_per_bit], np.int32
+    mix_pos_offsets, mix_pos_masks, mix_pos_groups = _arena(
+        [mixers[k].table_bits for k in pos_ks]
     )
-    mix_vary_src = np.array(
-        [vary_order.index(mixers[k].ctx) for k in mix_vary_ix], np.int32
-    )
-    concat_order = np.concatenate([mix_stable_ix, mix_vary_ix])
+    # dense arena layout: [cd tables | pd 8-row blocks | lm tables]
+    cd_sizes = [1 << mixers[k].table_bits for k in cd_ks]
+    pd_sizes = [8 for _ in pd_ks]
+    lm_sizes = [1 << mixers[k].table_bits for k in lm_ks]
+    dense_sizes = cd_sizes + pd_sizes + lm_sizes
+    dense_offs = np.cumsum([0] + dense_sizes[:-1]).astype(np.int32) if dense_sizes else np.zeros((0,), np.int32)
+    mix_dense_total = int(sum(dense_sizes))
+    ncd, npd = len(cd_ks), len(pd_ks)
+    mix_cd_offsets = dense_offs[:ncd]
+    mix_pd_offsets = dense_offs[ncd : ncd + npd]
+    mix_lm_offsets = dense_offs[ncd + npd :]
+    concat_order = np.array(st_ks + pos_ks + cd_ks + pd_ks + lm_ks, np.int32)
     mix_perm = np.argsort(concat_order).astype(np.int32)  # concat[perm] = k-order
+    pf = spec.prefix_inputs
+    n0 = len(spec.mixers_in_layer(0))
+    n1 = len(spec.mixers_in_layer(1))
+    nskip = len(spec.skip_connection_cols)
 
     # --- match arena ---
     match_offsets, match_masks, match_total = _arena([m.table_bits for m in spec.matches])
@@ -284,19 +344,34 @@ def build_meta(spec: EnsembleSpec) -> Meta:
             [1 if getattr(m, "rotate", True) else 0 for m in spec.indirects], np.uint32
         ),
         ind_nblocks=ind_nblocks,
-        mix_offsets=mix_offsets,
-        mix_masks=mix_masks,
-        mix_ctx_slots=np.array([slots[m.ctx] for m in mixers], np.int32),
         mix_lrs=np.array([m.lr for m in mixers], np.float32),
-        mix_stable_ix=mix_stable_ix,
-        mix_vary_ix=mix_vary_ix,
-        mix_vary_src=mix_vary_src,
-        mix_perm=mix_perm,
-        mix_n0=len(spec.mixers_in_layer(0)),
-        mix_n1=len(spec.mixers_in_layer(1)),
+        mix_n0=n0,
+        mix_n1=n1,
         mix_width_pad=width_pad,
         mix_step_lane=width_pad - 1,
+        mix_st_ix=np.array(st_ks, np.int32),
+        mix_st_offsets=mix_st_offsets,
+        mix_st_masks=mix_st_masks,
+        mix_st_slots=np.array([slots[mixers[k].ctx] for k in st_ks], np.int32),
         mix_total_rows=mix_total_rows,
+        mix_pos_ix=np.array(pos_ks, np.int32),
+        mix_pos_offsets=mix_pos_offsets,
+        mix_pos_masks=mix_pos_masks,
+        mix_pos_slots=np.array([slots[mixers[k].ctx] for k in pos_ks], np.int32),
+        mix_pos_groups=mix_pos_groups,
+        mix_cd_ix=np.array(cd_ks, np.int32),
+        mix_cd_offsets=np.asarray(mix_cd_offsets, np.int32),
+        mix_cd_sizes=np.array(cd_sizes, np.int32),
+        mix_cd_slots=np.array([slots[mixers[k].ctx] for k in cd_ks], np.int32),
+        mix_pd_ix=np.array(pd_ks, np.int32),
+        mix_pd_offsets=np.asarray(mix_pd_offsets, np.int32),
+        mix_lm_ix=np.array(lm_ks, np.int32),
+        mix_lm_offsets=np.asarray(mix_lm_offsets, np.int32),
+        mix_lm_sizes=np.array(lm_sizes, np.int32),
+        mix_dense_total=mix_dense_total,
+        mix_perm=mix_perm,
+        prefix_lane0=(spec.num_predictions + n0) if pf else -1,
+        prefix_lane12=(n0 + n1 + nskip) if pf else -1,
         match_offsets=match_offsets,
         match_masks=match_masks,
         match_ctx_slots=np.array([slots[m.ctx] for m in spec.matches], np.int32),

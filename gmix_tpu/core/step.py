@@ -672,15 +672,56 @@ def _byte_step(
     ind_rot = ((ind_ctx_vals >> U32(16)) & U32(255)) * jnp.asarray(meta.ind_rotate)[None, :]  # (S, M)
     ind_blk = gather_rows(ltm["ind"]["st"], blk_ix)  # (S, M, 256) u16
     p_tbl = ltm["ind"]["p"]  # (S, 2M, 256)
-    # byte-stable mixer rows
-    stable_ix = jnp.asarray(meta.mix_stable_ix)
-    vary_ix = jnp.asarray(meta.mix_vary_ix)
-    rowix_st = _iar(
-        ctx_byte[:, jnp.asarray(meta.mix_ctx_slots[meta.mix_stable_ix])]
-        & jnp.asarray(meta.mix_masks[meta.mix_stable_ix])[None, :]
-    ) + jnp.asarray(meta.mix_offsets[meta.mix_stable_ix])[None, :]
-    rows_stable = gather_rows(ltm["mix_w"], rowix_st)  # (S, Kst, WP)
-    mix_w = ltm["mix_w"]
+    # mixer working sets by placement class (core/meta.py): gathered stable
+    # rows, position blocks (one wide row each), and dense-resident small
+    # tables (static slices - no scatter at all)
+    Kst, Kp = len(meta.mix_st_ix), len(meta.mix_pos_ix)
+    Kcd, Kpd, Klm = len(meta.mix_cd_ix), len(meta.mix_pd_ix), len(meta.mix_lm_ix)
+    if Kst:
+        rowix_st = _iar(
+            ctx_byte[:, jnp.asarray(meta.mix_st_slots)]
+            & jnp.asarray(meta.mix_st_masks)[None, :]
+        ) + jnp.asarray(meta.mix_st_offsets)[None, :]
+        rows_stable = gather_rows(ltm["mix_w"], rowix_st)  # (S, Kst, WP)
+    else:
+        rows_stable = jnp.zeros((S, 0, WP), F32)
+    if Kp:
+        posix = _iar(
+            ctx_byte[:, jnp.asarray(meta.mix_pos_slots)]
+            & jnp.asarray(meta.mix_pos_masks)[None, :]
+        ) + jnp.asarray(meta.mix_pos_offsets)[None, :]
+        rows_pos = gather_rows(
+            ltm["mix_pos"].reshape(S, meta.mix_pos_groups, 8 * WP), posix
+        ).reshape(S, Kp, 8, WP)
+    else:
+        rows_pos = jnp.zeros((S, 0, 8, WP), F32)
+    dense0 = ltm["mix_dense"] if meta.mix_dense_total else None
+    cd_oh = []
+    rows_cd_l = []
+    for i in range(Kcd):
+        off, T = int(meta.mix_cd_offsets[i]), int(meta.mix_cd_sizes[i])
+        val = _iar(ctx_byte[:, int(meta.mix_cd_slots[i])] & U32(T - 1))
+        oh = jnp.arange(T)[None, :] == val[:, None]  # (S, T)
+        cd_oh.append(oh)
+        rows_cd_l.append(
+            jnp.sum(jnp.where(oh[:, :, None], dense0[:, off : off + T], F32(0.0)), axis=1)
+        )
+    rows_cd = jnp.stack(rows_cd_l, axis=1) if Kcd else jnp.zeros((S, 0, WP), F32)
+    blocks_pd = (
+        jnp.stack(
+            [dense0[:, int(o) : int(o) + 8] for o in meta.mix_pd_offsets], axis=1
+        )
+        if Kpd
+        else jnp.zeros((S, 0, 8, WP), F32)
+    )  # (S, Kpd, 8, WP)
+    lm_tbls = tuple(
+        dense0[
+            :,
+            int(meta.mix_lm_offsets[i]) : int(meta.mix_lm_offsets[i])
+            + int(meta.mix_lm_sizes[i]),
+        ]
+        for i in range(Klm)
+    )
     max_steps = ltm["mix_max_steps"]
     # SSE/APM rows (byte-stable gating contexts; one row per stage per byte)
     if spec.apm:
@@ -734,7 +775,10 @@ def _byte_step(
         "win_w": jnp.zeros((S, _CODER_WIN), U32),
         "bitregs": jnp.zeros((S, 4), U32),
         "rows_stable": rows_stable,
-        "mix_w": mix_w,
+        "rows_pos": rows_pos,
+        "rows_cd": rows_cd,
+        "blocks_pd": blocks_pd,
+        "lm_tbls": lm_tbls,
         "max_steps": max_steps,
     }
     if spec.apm:
@@ -758,7 +802,9 @@ def _byte_step(
         stm, coder, metrics = carry["stm"], carry["coder"], carry["metrics"]
         win_w = carry["win_w"]
         rows_stable = carry["rows_stable"]
-        mix_w, max_steps = carry["mix_w"], carry["max_steps"]
+        rows_pos, rows_cd = carry["rows_pos"], carry["rows_cd"]
+        blocks_pd, lm_tbls = carry["blocks_pd"], carry["lm_tbls"]
+        max_steps = carry["max_steps"]
         j_u = U32(j) if static_j else j.astype(U32)
         j_i = I32(j) if static_j else j.astype(I32)
         # mask of sub-steps strictly before this one (register-correction term)
@@ -871,9 +917,10 @@ def _byte_step(
         # prediction vector, column order [ppm?, lstm?, ind pairs..., matches...]
         preds = jnp.concatenate(head + [ind_pair, match_preds], axis=1)
 
-        # ---- mixers (mixer.cpp:51-106): byte-stable rows from registers,
-        # bit-varying rows gathered per sub-step; nilpotent-doubling solves
-        # for the in-layer chains, then the final unit ----
+        # ---- mixers (mixer.cpp:51-106): every class's working rows come
+        # from the per-byte register carries (no per-bit HBM row movement);
+        # nilpotent-doubling solves for the in-layer chains, then the final
+        # unit ----
         stm = _set(stm, bits_seen=bits_seen)
         bitregs = jnp.stack([bit_ctx, lb_ctx, slb_ctx, longest], axis=1)  # (S, 4)
         skip_preds = (
@@ -881,24 +928,60 @@ def _byte_step(
             if nskip
             else jnp.zeros((S, 0), F32)
         )
-        if len(meta.mix_vary_ix):
-            cv_v = bitregs[:, jnp.asarray(meta.mix_vary_src)]
-            rowix_v = _iar(
-                cv_v & jnp.asarray(meta.mix_masks[meta.mix_vary_ix])[None, :]
-            ) + jnp.asarray(meta.mix_offsets[meta.mix_vary_ix])[None, :]
-            rows_vary = gather_rows(mix_w, rowix_v)  # (S, Kv, WP)
-            rows = jnp.concatenate([rows_stable, rows_vary], axis=1)[
-                :, jnp.asarray(meta.mix_perm)
-            ]  # (S, K, WP) in k-order
-        else:
-            rows = rows_stable
+        # assemble the K weight rows in k-order from the class carries
+        parts = [rows_stable]
+        if Kp:
+            parts.append(
+                rows_pos[:, :, j]
+                if static_j
+                else jax.lax.dynamic_index_in_dim(rows_pos, j_i, 2, keepdims=False)
+            )
+        parts.append(rows_cd)
+        if Kpd:
+            parts.append(
+                blocks_pd[:, :, j]
+                if static_j
+                else jax.lax.dynamic_index_in_dim(blocks_pd, j_i, 2, keepdims=False)
+            )
+        lm_ohs = []
+        if Klm:
+            lm_rows = []
+            for i in range(Klm):
+                T = lm_tbls[i].shape[1]
+                oh = jnp.arange(T)[None, :] == _iar(longest)[:, None]  # (S, T)
+                lm_ohs.append(oh)
+                lm_rows.append(
+                    jnp.sum(jnp.where(oh[:, :, None], lm_tbls[i], F32(0.0)), axis=1)
+                )
+            parts.append(jnp.stack(lm_rows, axis=1))
+        rows = jnp.concatenate(parts, axis=1)[:, jnp.asarray(meta.mix_perm)]
         stepv = jax.lax.bitcast_convert_type(rows[:, :, SL], U32)  # (S, K)
         # forward view with the bitcast steps lane zeroed: once a counter's bit
         # pattern reaches 0x7F800000 (~2.1e9 updates) the lane reads as inf/NaN
         # and inf*0 in the einsums would NaN-poison every prediction
         rows_f = rows.at[:, :, SL].set(F32(0.0))
 
+        # bit-prefix input features (spec.prefix_inputs): +-1 for the byte's
+        # bits seen so far, 0 for unseen positions - the linear-input form of
+        # the prefix information that position-gated mixers dropped from
+        # their gates (config.MixerModel.pos)
+        if meta.prefix_lane0 >= 0:
+            i8 = jnp.arange(8, dtype=I32)[None, :]
+            sh = jnp.clip(j_i - 1 - i8, 0, 31).astype(U32)
+            bits8 = (acc[:, None] >> sh) & U32(1)
+            pfx = jnp.where(
+                i8 < j_i, F32(2.0) * bits8.astype(F32) - F32(1.0), F32(0.0)
+            )  # (S, 8)
+        else:
+            pfx = None
+
+        def with_pfx(base, lane):
+            if pfx is None:
+                return base
+            return jax.lax.dynamic_update_slice_in_dim(base, pfx, lane, axis=1)
+
         base0 = jnp.concatenate([preds, jnp.zeros((S, WP - meta.n_pred), F32)], axis=1)
+        base0 = with_pfx(base0, meta.prefix_lane0)
         d0 = jnp.einsum("skw,sw->sk", rows_f[:, :n0], base0, preferred_element_type=F32)
         y0 = _tri_solve(rows_f[:, :n0, meta.n_pred : meta.n_pred + n0], d0) if n0 > 1 else d0
 
@@ -906,12 +989,14 @@ def _byte_step(
             [y0, jnp.zeros((S, n1), F32), skip_preds,
              jnp.zeros((S, WP - n0 - n1 - nskip), F32)], axis=1
         )
+        base1 = with_pfx(base1, meta.prefix_lane12)
         d1 = jnp.einsum("skw,sw->sk", rows_f[:, n0 : n0 + n1], base1, preferred_element_type=F32)
         y1 = _tri_solve(rows_f[:, n0 : n0 + n1, n0 : n0 + n1], d1) if n1 > 1 else d1
 
         base2 = jnp.concatenate(
             [y0, y1, skip_preds, jnp.zeros((S, WP - n0 - n1 - nskip), F32)], axis=1
         )
+        base2 = with_pfx(base2, meta.prefix_lane12)
         final_logit = jnp.einsum("sw,sw->s", rows_f[:, K - 1], base2, preferred_element_type=F32)
         prob = clamp_prob(logistic(final_logit))
 
@@ -1089,9 +1174,40 @@ def _byte_step(
             wd = (steps_new & U32(1023)) == 0  # weight decay every 1024 context-steps
             w_new = w_new * jnp.where(wd, F32(1.0) - F32(3e-6), F32(1.0))[:, :, None]
             w_new = w_new.at[:, :, SL].set(jax.lax.bitcast_convert_type(steps_new, F32))
-            rows_stable = w_new[:, stable_ix]  # carried to the next sub-step
-            if len(meta.mix_vary_ix):
-                mix_w = scatter_rows(mix_w, rowix_v, w_new[:, vary_ix])
+            # route the updated rows back into their class carries (all
+            # register-resident; HBM write-back happens once at byte end)
+            rows_stable = w_new[:, jnp.asarray(meta.mix_st_ix)]
+            if Kp:
+                wp_new = w_new[:, jnp.asarray(meta.mix_pos_ix)]  # (S, Kp, WP)
+                if static_j:
+                    rows_pos = rows_pos.at[:, :, j].set(wp_new)
+                else:
+                    rows_pos = jnp.where(
+                        (arange8 == j_i)[None, None, :, None],
+                        wp_new[:, :, None, :],
+                        rows_pos,
+                    )
+            if Kcd:
+                rows_cd = w_new[:, jnp.asarray(meta.mix_cd_ix)]
+            if Kpd:
+                pd_new = w_new[:, jnp.asarray(meta.mix_pd_ix)]
+                if static_j:
+                    blocks_pd = blocks_pd.at[:, :, j].set(pd_new)
+                else:
+                    blocks_pd = jnp.where(
+                        (arange8 == j_i)[None, None, :, None],
+                        pd_new[:, :, None, :],
+                        blocks_pd,
+                    )
+            if Klm:
+                lm_tbls = tuple(
+                    jnp.where(
+                        lm_ohs[i][:, :, None],
+                        w_new[:, int(meta.mix_lm_ix[i])][:, None, :],
+                        lm_tbls[i],
+                    )
+                    for i in range(Klm)
+                )
             max_steps = jnp.maximum(max_steps, steps_new)
 
         # advance bit registers
@@ -1105,7 +1221,10 @@ def _byte_step(
             win_w=win_w,
             bitregs=bitregs,
             rows_stable=rows_stable,
-            mix_w=mix_w,
+            rows_pos=rows_pos,
+            rows_cd=rows_cd,
+            blocks_pd=blocks_pd,
+            lm_tbls=lm_tbls,
             max_steps=max_steps,
         )
 
@@ -1120,7 +1239,9 @@ def _byte_step(
             carry = sub_step(carry, j)
     stm, coder, metrics = carry["stm"], carry["coder"], carry["metrics"]
     rows_stable = carry["rows_stable"]
-    mix_w, max_steps = carry["mix_w"], carry["max_steps"]
+    rows_pos, rows_cd = carry["rows_pos"], carry["rows_cd"]
+    blocks_pd, lm_tbls = carry["blocks_pd"], carry["lm_tbls"]
+    max_steps = carry["max_steps"]
     cur_byte = stm["acc"]  # all 8 bits accumulated = the completed byte
     bitregs = carry["bitregs"]
     longest = bitregs[:, 3]
@@ -1176,9 +1297,36 @@ def _byte_step(
                 "st": scatter_rows(ltm["ind"]["st"], blk_ix, ind_blk),
                 "p": p_tbl,
             },
-            mix_w=scatter_rows(mix_w, rowix_st, rows_stable),
             mix_max_steps=max_steps,
         )
+        if Kst:
+            ltm = _set(ltm, mix_w=scatter_rows(ltm["mix_w"], rowix_st, rows_stable))
+        if Kp:
+            ltm = _set(
+                ltm,
+                mix_pos=scatter_rows(
+                    ltm["mix_pos"].reshape(S, meta.mix_pos_groups, 8 * WP),
+                    posix,
+                    rows_pos.reshape(S, Kp, 8 * WP),
+                ).reshape(S, meta.mix_pos_groups, 8, WP),
+            )
+        if meta.mix_dense_total:
+            # dense arena write-back: static slices + one-hot selects only -
+            # no scatter (the whole pass fuses into one elementwise kernel)
+            dense_new = dense0
+            for i in range(Kcd):
+                off, T = int(meta.mix_cd_offsets[i]), int(meta.mix_cd_sizes[i])
+                cur = dense_new[:, off : off + T]
+                dense_new = dense_new.at[:, off : off + T].set(
+                    jnp.where(cd_oh[i][:, :, None], rows_cd[:, i][:, None, :], cur)
+                )
+            for i in range(Kpd):
+                off = int(meta.mix_pd_offsets[i])
+                dense_new = dense_new.at[:, off : off + 8].set(blocks_pd[:, i])
+            for i in range(Klm):
+                off, T = int(meta.mix_lm_offsets[i]), int(meta.mix_lm_sizes[i])
+                dense_new = dense_new.at[:, off : off + T].set(lm_tbls[i])
+            ltm = _set(ltm, mix_dense=dense_new)
         if spec.matches:
             ltm = _set(ltm, match_pred=mt_pred, match_cnt=mt_cnt)
         if spec.apm:

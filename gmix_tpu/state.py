@@ -66,10 +66,18 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
         "p": jnp.zeros((S, 2 * M, 256), f32),
     }
 
-    # --- mixers: one flat row arena across all layers; per-row steps counter
-    # bitcast into lane meta.mix_step_lane (zero-init f32 == zero-init u32) ---
+    # --- mixers: three arenas by placement class (core/meta.py): gathered
+    # stable rows, (8, WP) position blocks, and the dense-resident small
+    # tables. Per-row steps counters live bitcast into lane
+    # meta.mix_step_lane (zero-init f32 == zero-init u32). ---
     K = meta.mix_n0 + meta.mix_n1 + 1
-    ltm["mix_w"] = jnp.zeros((S, meta.mix_total_rows, meta.mix_width_pad), f32)
+    WP = meta.mix_width_pad
+    if meta.mix_total_rows:
+        ltm["mix_w"] = jnp.zeros((S, meta.mix_total_rows, WP), f32)
+    if meta.mix_pos_groups:
+        ltm["mix_pos"] = jnp.zeros((S, meta.mix_pos_groups, 8, WP), f32)
+    if meta.mix_dense_total:
+        ltm["mix_dense"] = jnp.zeros((S, meta.mix_dense_total, WP), f32)
     ltm["mix_max_steps"] = jnp.ones((S, K), u32)  # mixer.cpp:8
 
     # --- match models ---
