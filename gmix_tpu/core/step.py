@@ -690,9 +690,7 @@ def _byte_step(
             ctx_byte[:, jnp.asarray(meta.mix_pos_slots)]
             & jnp.asarray(meta.mix_pos_masks)[None, :]
         ) + jnp.asarray(meta.mix_pos_offsets)[None, :]
-        rows_pos = gather_rows(
-            ltm["mix_pos"].reshape(S, meta.mix_pos_groups, 8 * WP), posix
-        ).reshape(S, Kp, 8, WP)
+        rows_pos = gather_rows(ltm["mix_pos"], posix).reshape(S, Kp, 8, WP)
     else:
         rows_pos = jnp.zeros((S, 0, 8, WP), F32)
     dense0 = ltm["mix_dense"] if meta.mix_dense_total else None
@@ -1305,10 +1303,8 @@ def _byte_step(
             ltm = _set(
                 ltm,
                 mix_pos=scatter_rows(
-                    ltm["mix_pos"].reshape(S, meta.mix_pos_groups, 8 * WP),
-                    posix,
-                    rows_pos.reshape(S, Kp, 8 * WP),
-                ).reshape(S, meta.mix_pos_groups, 8, WP),
+                    ltm["mix_pos"], posix, rows_pos.reshape(S, Kp, 8 * WP)
+                ),
             )
         if meta.mix_dense_total:
             # dense arena write-back: static slices + one-hot selects only -

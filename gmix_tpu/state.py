@@ -75,7 +75,10 @@ def init_state(meta: Meta, num_streams: int, seed: int = DEFAULT_SEED) -> Dict:
     if meta.mix_total_rows:
         ltm["mix_w"] = jnp.zeros((S, meta.mix_total_rows, WP), f32)
     if meta.mix_pos_groups:
-        ltm["mix_pos"] = jnp.zeros((S, meta.mix_pos_groups, 8, WP), f32)
+        # FLAT wide rows (8*WP lanes): gathered/scattered as-is; reshaping a
+        # (G, 8, WP) arena to (G, 8*WP) per byte would relayout-copy the
+        # whole arena every byte on TPU
+        ltm["mix_pos"] = jnp.zeros((S, meta.mix_pos_groups, 8 * WP), f32)
     if meta.mix_dense_total:
         ltm["mix_dense"] = jnp.zeros((S, meta.mix_dense_total, WP), f32)
     ltm["mix_max_steps"] = jnp.ones((S, K), u32)  # mixer.cpp:8
