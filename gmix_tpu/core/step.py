@@ -958,13 +958,20 @@ def _byte_step(
         stepv = jax.lax.bitcast_convert_type(rows[:, :, SL], U32)  # (S, K)
         # forward view with the bitcast steps lane zeroed: once a counter's bit
         # pattern reaches 0x7F800000 (~2.1e9 updates) the lane reads as inf/NaN
-        # and inf*0 in the einsums would NaN-poison every prediction
-        rows_f = rows.at[:, :, SL].set(F32(0.0))
+        # and inf*0 in the einsums would NaN-poison every prediction.
+        # (a lane-mask SELECT, not .at[...].set: a dynamic-update-slice here
+        # materializes a full (S, K, WP) copy per sub-step - ~23.5us each at
+        # S=128 in the round-4 profile. A multiply-by-zero would instead
+        # propagate the NaN the zeroing exists to suppress.)
+        sl_is = (jnp.arange(WP) == SL)[None, None, :]
+        rows_f = jnp.where(sl_is, F32(0.0), rows)
 
         # bit-prefix input features (spec.prefix_inputs): +-1 for the byte's
         # bits seen so far, 0 for unseen positions - the linear-input form of
         # the prefix information that position-gated mixers dropped from
-        # their gates (config.MixerModel.pos)
+        # their gates (config.MixerModel.pos). The features ride the base
+        # concatenations directly (a dynamic-update-slice would copy the
+        # whole base per sub-step).
         if meta.prefix_lane0 >= 0:
             i8 = jnp.arange(8, dtype=I32)[None, :]
             sh = jnp.clip(j_i - 1 - i8, 0, 31).astype(U32)
@@ -972,31 +979,29 @@ def _byte_step(
             pfx = jnp.where(
                 i8 < j_i, F32(2.0) * bits8.astype(F32) - F32(1.0), F32(0.0)
             )  # (S, 8)
+            npf = 8
         else:
-            pfx = None
+            pfx = jnp.zeros((S, 0), F32)
+            npf = 0
 
-        def with_pfx(base, lane):
-            if pfx is None:
-                return base
-            return jax.lax.dynamic_update_slice_in_dim(base, pfx, lane, axis=1)
-
-        base0 = jnp.concatenate([preds, jnp.zeros((S, WP - meta.n_pred), F32)], axis=1)
-        base0 = with_pfx(base0, meta.prefix_lane0)
+        base0 = jnp.concatenate(
+            [preds, jnp.zeros((S, n0), F32), pfx,
+             jnp.zeros((S, WP - meta.n_pred - n0 - npf), F32)], axis=1
+        )
         d0 = jnp.einsum("skw,sw->sk", rows_f[:, :n0], base0, preferred_element_type=F32)
         y0 = _tri_solve(rows_f[:, :n0, meta.n_pred : meta.n_pred + n0], d0) if n0 > 1 else d0
 
         base1 = jnp.concatenate(
-            [y0, jnp.zeros((S, n1), F32), skip_preds,
-             jnp.zeros((S, WP - n0 - n1 - nskip), F32)], axis=1
+            [y0, jnp.zeros((S, n1), F32), skip_preds, pfx,
+             jnp.zeros((S, WP - n0 - n1 - nskip - npf), F32)], axis=1
         )
-        base1 = with_pfx(base1, meta.prefix_lane12)
         d1 = jnp.einsum("skw,sw->sk", rows_f[:, n0 : n0 + n1], base1, preferred_element_type=F32)
         y1 = _tri_solve(rows_f[:, n0 : n0 + n1, n0 : n0 + n1], d1) if n1 > 1 else d1
 
         base2 = jnp.concatenate(
-            [y0, y1, skip_preds, jnp.zeros((S, WP - n0 - n1 - nskip), F32)], axis=1
+            [y0, y1, skip_preds, pfx,
+             jnp.zeros((S, WP - n0 - n1 - nskip - npf), F32)], axis=1
         )
-        base2 = with_pfx(base2, meta.prefix_lane12)
         final_logit = jnp.einsum("sw,sw->s", rows_f[:, K - 1], base2, preferred_element_type=F32)
         prob = clamp_prob(logistic(final_logit))
 
@@ -1184,7 +1189,10 @@ def _byte_step(
             steps_new = stepv + U32(1)
             wd = (steps_new & U32(1023)) == 0  # weight decay every 1024 context-steps
             w_new = w_new * jnp.where(wd, F32(1.0) - F32(3e-6), F32(1.0))[:, :, None]
-            w_new = w_new.at[:, :, SL].set(jax.lax.bitcast_convert_type(steps_new, F32))
+            # steps lane via lane-mask select (no dynamic-update-slice copy)
+            w_new = jnp.where(
+                sl_is, jax.lax.bitcast_convert_type(steps_new, F32)[:, :, None], w_new
+            )
             # route the updated rows back into their class carries (all
             # register-resident; HBM write-back happens once at byte end)
             rows_stable = w_new[:, jnp.asarray(meta.mix_st_ix)]
