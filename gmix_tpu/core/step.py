@@ -598,6 +598,7 @@ def _byte_step(
     metrics: Dict,
     data_buf: jnp.ndarray,
     code_buf: jnp.ndarray,
+    code_words: jnp.ndarray,
     t: jnp.ndarray,
     decode: jnp.ndarray,
     meta: Meta,
@@ -738,11 +739,29 @@ def _byte_step(
     wpos0 = coder["wpos"]
     win_lanes = U32(np.arange(_CODER_WIN))
     look = _iar(rpos0[:, None] + win_lanes[None, :])
-    win_r = jnp.where(
-        look < cap_total,
-        code_buf[s_ix, jnp.minimum(look, cap_total - 1)].astype(U32),
+    # decoder input window via 11 u32-WORD element gathers instead of 40
+    # byte gathers (element gathers serialize at ~10 ns each on the scalar
+    # core; code_words is the once-per-chunk u32 view of code_buf, which is
+    # read-only inside the scan)
+    nwords = code_words.shape[1]
+    w_ix = (rpos0 >> U32(2))[:, None] + U32(np.arange(_CODER_WIN // 4 + 1))[None, :]
+    words = jnp.where(
+        w_ix < nwords,
+        code_words[s_ix, jnp.minimum(_iar(w_ix), nwords - 1)],
         U32(0),
-    )  # (S, WIN); EOF reads 0
+    )  # (S, 11)
+    off0 = (rpos0 & U32(3))[:, None]  # (S, 1)
+    rel = _iar((off0 + win_lanes[None, :]) >> U32(2))  # (S, WIN) word 0..10
+    shf = ((off0 + win_lanes[None, :]) & U32(3)) * U32(8)
+    sel_words = jnp.sum(
+        jnp.where(
+            rel[:, :, None] == np.arange(_CODER_WIN // 4 + 1)[None, None, :],
+            words[:, None, :],
+            U32(0),
+        ),
+        axis=2,
+    )  # (S, WIN)
+    win_r = jnp.where(look < cap_total, (sel_words >> shf) & U32(255), U32(0))
 
     # ---- 8 bit sub-steps: ONE body, two instantiations ----
     # j is either a python int (TPU: statically unrolled, j-dependent selects
@@ -1384,6 +1403,19 @@ def _byte_step(
 # ---------------------------------------------------------------------------
 
 
+def _code_words(code_buf: jnp.ndarray) -> jnp.ndarray:
+    """Once-per-chunk u32-word view of the (read-only inside the scan) code
+    buffer, for the decoder's word-granular window gather."""
+    S, cap = code_buf.shape
+    pad = (-cap) % 4
+    if pad:
+        code_buf = jnp.pad(code_buf, ((0, 0), (0, pad)))
+    b = code_buf.reshape(S, -1, 4).astype(jnp.uint32)
+    # little-endian byte order: byte k of word w is bits 8k
+    return (b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16)
+            | (b[:, :, 3] << 24))
+
+
 def make_chunk_fn_raw(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool = False,
                       analysis: bool = True):
     """Build the UNJITTED chunk processor (for shard_map wrapping — see
@@ -1408,18 +1440,19 @@ def make_chunk_fn_raw(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool
     bptt_mode = "defer" if seg_aligned else "cond"
 
     def byte_scan_step(carry, t):
-        state, data_buf, code_buf, decode = carry
+        state, data_buf, code_buf, code_words, decode = carry
         stm, ltm, coder, metrics = (
             state["stm"], state["ltm"], state["coder"], state["metrics"],
         )
         stm, ltm, coder, metrics, data_buf, code_buf, win, nw = _byte_step(
-            stm, ltm, coder, metrics, data_buf, code_buf, t, decode,
+            stm, ltm, coder, metrics, data_buf, code_buf, code_words, t, decode,
             meta, learn, bptt_mode, bit_scan=bit_scan, analysis=analysis,
         )
         return (
             {"stm": stm, "ltm": ltm, "coder": coder, "metrics": metrics},
             data_buf,
             code_buf,
+            code_words,
             decode,
         ), (win, nw)
 
@@ -1438,7 +1471,7 @@ def make_chunk_fn_raw(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool
             return ((state,) + carry[1:]), ys
 
         def chunk_fn(state, data_buf, code_buf, t0, decode):
-            carry = (state, data_buf, code_buf, decode)
+            carry = (state, data_buf, code_buf, _code_words(code_buf), decode)
             starts = t0.astype(I32) + jnp.arange(0, chunk, Hz, dtype=I32)
             carry, (win, nw) = jax.lax.scan(seg_step, carry, starts)
             win = win.reshape((chunk,) + win.shape[2:])
@@ -1448,7 +1481,7 @@ def make_chunk_fn_raw(meta: Meta, chunk: int, learn: bool = True, bit_scan: bool
     else:
 
         def chunk_fn(state, data_buf, code_buf, t0, decode):
-            carry = (state, data_buf, code_buf, decode)
+            carry = (state, data_buf, code_buf, _code_words(code_buf), decode)
             ts = t0.astype(I32) + jnp.arange(chunk, dtype=I32)
             carry, (win, nw) = jax.lax.scan(byte_scan_step, carry, ts)
             return carry[0], carry[1], carry[2], win, nw
@@ -1478,7 +1511,8 @@ def make_gen_chunk_fn_raw(meta: Meta, chunk: int, bit_scan: bool = False):
             state["stm"], state["ltm"], state["coder"], state["metrics"],
         )
         stm, ltm, coder, metrics, data_buf, code_buf, _win, _nw = _byte_step(
-            stm, ltm, coder, metrics, data_buf, code_buf, t,
+            stm, ltm, coder, metrics, data_buf, code_buf,
+            jnp.zeros((data_buf.shape[0], 2), jnp.uint32), t,
             jnp.asarray(False), meta, False, "cond",
             sample_u=u, inv_temp=inv_temp, bit_scan=bit_scan,
         )
