@@ -236,6 +236,7 @@ def main():
         ladder.insert(0, (int(bits), int(streams)))
 
     result = None
+    silent_deaths = 0
     for bits, S in ladder:
         spec = _spec_for(bits)
         est = _state_bytes(spec, S)
@@ -266,12 +267,21 @@ def main():
                 r = json.loads(res_line[-1][len("CHILD_RESULT "):])
                 result = r
                 break
-            msg = err_line[-1][len("CHILD_ERROR "):] if err_line else "child died"
+            msg = (err_line[-1][len("CHILD_ERROR "):] if err_line
+                   else f"child died without a message (returncode {proc.returncode})")
             # Retry/downgrade ONLY capacity or transport faults; a genuine
             # correctness bug must surface, not be silently retried away.
-            # (A messageless child death = backend crash = transient.)
             if err_line and not any(k in msg for k in _TRANSIENT_KEYS):
                 raise RuntimeError(f"bench child failed (non-transient): {msg}")
+            if not err_line:
+                silent_deaths += 1
+                if silent_deaths >= 3:
+                    # repeated messageless deaths (segfault/OOM-kill) across
+                    # configs point at a native bug, not capacity - surface it
+                    raise RuntimeError(
+                        f"bench: {silent_deaths} consecutive messageless child "
+                        f"deaths (last returncode {proc.returncode})"
+                    )
             sys.stderr.write(f"bench: scaled-{bits}x{S} failed: {msg[:500]}\n")
         if result is not None:
             break

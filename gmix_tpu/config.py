@@ -579,6 +579,10 @@ def best_spec() -> EnsembleSpec:
                 for o in spec.ppm.orders
             ),
         ),
+        # a 64 MB dedup-history ring per stream: the reference's match
+        # history is unbounded (match.cpp:92-108 + 5-byte pointers); 2^26
+        # covers the full range of >=16 MB inputs at small stream counts
+        history_bits=26,
     )
     spec.validate()
     return spec

@@ -144,29 +144,20 @@ def make_variant(name: str):
         spec.validate()
         return spec, int(S)
     if name.startswith("best"):
-        # best-x<S>: boost-1-18 (best measured) + faster PPM count rescale
-        # (rescale_total 48000 -> 20000: more recency in the count rows)
+        # best-x<S>: exactly config.best_spec() (the CLI --profile best
+        # wiring), so the tool's measurement and the shipped profile share
+        # one spec hash (round-3 advisor finding: they diverged by a
+        # rescale_total tweak that measured as a no-op)
+        from gmix_tpu.config import best_spec
+
         S = int(name.split("x")[1])
-        spec = reference_spec()
-        spec = dataclasses.replace(
-            spec,
-            indirects=tuple(
-                dataclasses.replace(m, table_bits=min(m.table_bits + 1, 18))
-                for m in spec.indirects
-            ),
-            ppm=dataclasses.replace(
-                spec.ppm,
-                rescale_total=20000,
-                orders=tuple(
-                    dataclasses.replace(o, table_bits=18) if o.table_bits >= 16 else o
-                    for o in spec.ppm.orders
-                ),
-            ),
-        )
-        spec.validate()
-        return spec, S
+        return best_spec(), S
     if name.startswith("tuned"):
-        # tuned-x<S>: measured-best quality config. boost-1-17x4 showed that
+        # tuned-x<S>: the rotation-opt-out HYPOTHESIS config - it measured
+        # WORSE than boost-1-18 (2.0383 vs 2.0338 bpb, round 3): the mixture
+        # prefers sharper decorrelated signals even when the opted-out
+        # models' own entropies improve. Kept for reproducibility.
+        # Background: boost-1-17x4 showed that
         # +1 bit helps low-order indirect tables and the PPM (fewer
         # collisions) but HURTS sparse deep-order contexts (ind_5b/6b EMA
         # 0.50->0.55 / 0.55->0.74; 4-selector skips likewise): hash-collision
