@@ -558,12 +558,15 @@ def reference_spec() -> EnsembleSpec:
 
 
 def best_spec() -> EnsembleSpec:
-    """The measured-best compression-quality wiring (round 3): the reference
-    ensemble with every indirect table grown one bit (cap 18) and the hashed
-    PPM orders at 18 bits. On corpus_1m at 4 streams this reaches 2.0338 bpb
-    vs 2.0318 for the reference binary on the same 4-way-split input
-    (data/quality_ablations.json `boost-1-18x4`); state is ~2.9 GiB/stream,
-    sized for the 16 GiB chip at small stream counts."""
+    """The measured-best compression-quality wiring (round 4): the reference
+    ensemble with every indirect table grown one bit (cap 18), 17-bit hashed
+    PPM orders, two SSE/APM stages, and a 64 MB match-history ring. On
+    corpus_1m at 4 streams this reaches 2.0153 bpb vs 2.0318 for the
+    reference binary on the same 4-way-split input - 0.8% BETTER than the
+    reference at equal parallelism (data/quality_ablations.json
+    `apm2-10-50-8x4`; best_spec == that spec + the larger history ring).
+    State is ~2.5 GiB/stream, sized for the 16 GiB chip at small stream
+    counts."""
     import dataclasses as _dc
 
     spec = reference_spec()
@@ -574,10 +577,21 @@ def best_spec() -> EnsembleSpec:
         ),
         ppm=_dc.replace(
             spec.ppm,
+            # 17-bit hashed orders: at 18 bits the widened 272-lane rows put
+            # the (4, 2^18*8, 272) arena past 2^31 elements, which crashes
+            # XLA:TPU's AOT compiler (i32 element indexing; measured worth
+            # only 0.0013 bpb over 17 bits in round 3)
             orders=tuple(
-                _dc.replace(o, table_bits=18) if o.table_bits >= 16 else o
+                _dc.replace(o, table_bits=17) if o.table_bits >= 16 else o
                 for o in spec.ppm.orders
             ),
+        ),
+        # two SSE/APM final-probability stages (measured -0.015 bpb on
+        # corpus_1m x4: 2.0301 -> 2.0153; the lr=0.010 / weight 0.50+0.25
+        # point won the round-4 sweep, data/quality_ablations.json)
+        apm=(
+            ApmStage("apm_lb", "last_byte", 8, lr=0.010, weight=0.50),
+            ApmStage("apm_h2", "h2", 16, lr=0.010, weight=0.25),
         ),
         # a 64 MB dedup-history ring per stream: the reference's match
         # history is unbounded (match.cpp:92-108 + 5-byte pointers); 2^26

@@ -54,9 +54,11 @@ def _old_ppm():
     )
 
 
-def _boost118():
-    """The round-3 measured-best table sizing (boost-1-18): +1 bit on every
-    indirect table (cap 18), hashed PPM orders at 18 bits."""
+def _boost117():
+    """Round-3's measured-best table sizing, ppm capped at 17 bits: the
+    272-lane tag-in-row widening puts 18-bit ppm arenas past 2^31 elements
+    at 4 streams, which crashes the XLA:TPU AOT compiler (and 18 vs 17 bits
+    measured only 0.0013 bpb in round 3)."""
     from gmix_tpu.config import reference_spec
 
     spec = reference_spec()
@@ -69,7 +71,7 @@ def _boost118():
         ppm=dataclasses.replace(
             spec.ppm,
             orders=tuple(
-                dataclasses.replace(o, table_bits=18) if o.table_bits >= 16 else o
+                dataclasses.replace(o, table_bits=17) if o.table_bits >= 16 else o
                 for o in spec.ppm.orders
             ),
         ),
@@ -80,7 +82,7 @@ def make_variant(name: str):
     from gmix_tpu.config import ApmStage, PpmOrder, reference_spec, scale_tables
 
     if name.startswith("apm"):
-        # apm-<lr_milli>-<wgt_pct>-<tb>x<S>: boost-1-18 + one SSE/APM stage
+        # apm-<lr_milli>-<wgt_pct>-<tb>x<S>: boost117 + one SSE/APM stage
         # gated on last_byte; apm2-...: + a second stage on h2 (tb+8 bits,
         # half weight). The model lever for the <=-reference bar (VERDICT r3
         # ask #2): one extra arena row per stage per byte.
@@ -92,7 +94,7 @@ def make_variant(name: str):
         stages = (ApmStage("apm_lb", "last_byte", tb, lr=lr, weight=wgt),)
         if two:
             stages += (ApmStage("apm_h2", "h2", tb + 8, lr=lr, weight=wgt / 2),)
-        spec = dataclasses.replace(_boost118(), apm=stages)
+        spec = dataclasses.replace(_boost117(), apm=stages)
         spec.validate()
         return spec, int(S)
     if name.startswith("shallowppm"):
