@@ -345,8 +345,19 @@ def main():
             "0.8% BETTER than the reference (README 'Compression parity')"
         ),
     }
-    with open(os.path.join(os.path.dirname(__file__), "data", "parity.json"), "w") as f:
-        json.dump(parity, f, indent=1)
+    # Read-modify-write: the bench owns only its top-level keys; records
+    # written by other tools (wiki_e2e, sequential_s1, warm_sweep, ...) must
+    # survive a bench run (a round-4 driver run clobbered wiki_e2e).
+    parity_path = os.path.join(os.path.dirname(__file__), "data", "parity.json")
+    merged = {}
+    if os.path.exists(parity_path):
+        try:
+            merged = json.load(open(parity_path))
+        except Exception:
+            merged = {}
+    merged.update(parity)
+    with open(parity_path, "w") as f:
+        json.dump(merged, f, indent=1)
 
     if not exact:
         print(json.dumps({"metric": "corpus encode+decode MB/s (ROUNDTRIP FAILED)",
