@@ -629,6 +629,12 @@ def tiny_spec(with_lstm: bool = False) -> EnsembleSpec:
         MixerModel("mix0_1", "h2", 0.0035, 0, 8),
         MixerModel("mix0_2", "int_16_4", 0.005, 0, 4),
         MixerModel("mix0_3", "zero", 0.0005, 0, 0),
+        # one mixer per remaining placement class (core/meta.py), so the CPU
+        # suite's roundtrip/checkpoint/copy invariants exercise all five:
+        # pos=True with a table -> the flat position-block arena (mix_pos),
+        # longest_match gating -> the dense-carried lm class
+        MixerModel("mix0_pos", "h2", 0.004, 0, 3, pos=True),
+        MixerModel("mix0_lm", "longest_match", 0.0008, 0, 3),
         MixerModel("mix1_0", "zero", 0.003, 1, 0, pos=True),
         MixerModel("mix1_1", "zero", 0.0035, 1, 0),
         MixerModel("mix_final", "zero", 0.0005, 2, 0),

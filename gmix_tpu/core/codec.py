@@ -36,7 +36,11 @@ MAGIC = b"GXTC"
 # v3: deferred per-bit table writes (core/step.py) change float rounding of
 # the state->logit and match-table updates (p+(d1+d2) vs (p+d1)+d2), so v2
 # archives are not bit-compatible
-VERSION = 3
+# v4: deterministic polynomial transcendentals (ops/sigmoid.py) replace the
+# backend exp/log/tanh/pow kernels, making archives invariant to the stream
+# batch shape they were coded under (cross-topology portability); the
+# rounding differs from v3's libm values
+VERSION = 4
 # worst-case output bytes per input byte (4 renorm bytes * 8 bits + slack)
 _WORST_PER_BYTE = 33
 

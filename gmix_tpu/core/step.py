@@ -59,7 +59,15 @@ from ..config import EnsembleSpec
 from ..ops import coder as coder_ops
 from ..ops.rowmove import gather_rows, scatter_rows
 from ..ops.murmur import murmur3_u32, murmur3_u64
-from ..ops.sigmoid import clamp_prob, logistic, logit
+from ..ops.sigmoid import (
+    clamp_prob,
+    exp_det,
+    logistic,
+    logit,
+    pow_det,
+    powc_det,
+    tanh_det,
+)
 from ..ops.tables import nonstationary_table, run_map_table
 from .meta import APM_BINS, APM_SPAN, Meta, PPM_ROW_W, PPM_TAG_LANE, ROLL_BASE
 
@@ -227,7 +235,7 @@ def _ppm_cascade(rows_f: jnp.ndarray, see: jnp.ndarray, sp):
     bucket_oh = [None] * NO
     for i in range(NO - 1, -1, -1):
         row = jnp.where(excl, F32(0.0), rows_f[:, i]) if sp.exclusion else rows_f[:, i]
-        t = jnp.sum(row, axis=1)
+        t = _tree_sum(row)
         distinct = jnp.sum(row > 0, axis=1).astype(F32)
         h = t > 0
         ppmc = distinct / jnp.maximum(t + distinct, F32(1.0))
@@ -350,8 +358,8 @@ def _interval_bit_pred(probs, top, bot, mid, new_bit, first):
         top = jnp.where(upd & (nb == 0), mid, top)
     mid = bot + (top - bot) // 2
     ar = jnp.arange(256)[None, :]
-    num = jnp.sum(jnp.where((ar >= mid[:, None] + 1) & (ar <= top[:, None]), probs, 0.0), axis=1)
-    den = num + jnp.sum(jnp.where((ar >= bot[:, None]) & (ar <= mid[:, None]), probs, 0.0), axis=1)
+    num = _tree_sum(jnp.where((ar >= mid[:, None] + 1) & (ar <= top[:, None]), probs, 0.0))
+    den = num + _tree_sum(jnp.where((ar >= bot[:, None]) & (ar <= mid[:, None]), probs, 0.0))
     p = jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), F32(0.5))
     return jnp.where(den != 0, logit(p), F32(0.0)), top, bot, mid
 
@@ -376,13 +384,16 @@ def _lstm_forward(stm: Dict, ltm: Dict, meta: Meta) -> Tuple[Dict, Dict]:
     ivar = jax.lax.rsqrt(jnp.mean(f * f, axis=2) + F32(1e-5))  # (S,3)
     norm = f * ivar[:, :, None]
     pre = norm * lw["gamma"] + lw["beta"]
+    # tanh/exp/logistic here are the deterministic polynomial kernels
+    # (ops/sigmoid.py): backend transcendentals round differently per array
+    # SHAPE, which broke stream-batch-size-invariant archives
     forget = logistic(pre[:, 0])
-    innode = jnp.tanh(pre[:, 1])
+    innode = tanh_det(pre[:, 1])
     outg = logistic(pre[:, 2])
     in_gate = F32(1.0) - forget  # CIFG (lstm-layer.cpp:212)
     last_state = lst["cell"]
     cell = last_state * forget + innode * in_gate
-    tanh_c = jnp.tanh(cell)
+    tanh_c = tanh_det(cell)
     hidden = jnp.concatenate([outg * tanh_c, jnp.ones((S, 1), F32)], axis=1)
 
     # per-epoch output layer (lstm.cpp:91-122); out_w is (S, Hz, C+1, OUT)
@@ -393,7 +404,7 @@ def _lstm_forward(stm: Dict, ltm: Dict, meta: Meta) -> Tuple[Dict, Dict]:
     w_e = jax.lax.dynamic_index_in_dim(lw["out_w"], e, 1, keepdims=False)  # (S, C+1, OUT)
     logits = jnp.sum(w_e * hidden[:, :, None], axis=1)
     maxv = jnp.maximum(jnp.max(logits, axis=1, keepdims=True), F32(0.0))  # lstm.cpp:105-113
-    probs = jnp.exp(logits - maxv)
+    probs = exp_det(logits - maxv)
     probs = probs / jnp.sum(probs, axis=1, keepdims=True)
 
     gate_state = jnp.stack([forget, innode, outg], axis=1)  # (S,3,C)
@@ -492,14 +503,16 @@ def _lstm_bptt(lst: Dict, lw: Dict, meta: Meta) -> Tuple[Dict, Dict]:
 
     t_new = jnp.minimum(lst["update_steps"] + 1, ls.update_limit)
     tf = t_new.astype(F32)
-    alpha = F32(ls.lr * 0.1) * jax.lax.rsqrt(F32(5e-5) * tf + F32(1.0))
+    # 1/sqrt instead of rsqrt: sqrt and divide are IEEE-correctly-rounded
+    # (shape-invariant); rsqrt is a backend approximation
+    alpha = F32(ls.lr * 0.1) / jnp.sqrt(F32(5e-5) * tf + F32(1.0))
     b1, b2, eps = F32(ls.adam_beta1), F32(ls.adam_beta2), F32(ls.adam_eps)
 
     def adam(g, m, v, w):
         m = b1 * m + (1.0 - b1) * g
         v = b2 * v + (1.0 - b2) * g * g
-        mh = m / (1.0 - jnp.power(b1, tf))
-        vh = v / (1.0 - jnp.power(b2, tf))
+        mh = m / (1.0 - powc_det(ls.adam_beta1, tf))
+        vh = v / (1.0 - powc_det(ls.adam_beta2, tf))
         return m, v, w - alpha * mh / jnp.sqrt(vh + eps)
 
     sm, sv, w_sym = adam(upd_sym, lw["sym_m"], lw["sym_v"], lw["w_sym"])
@@ -566,6 +579,27 @@ _CODER_WIN = 40
 
 
 
+def _tree_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Sum over the LAST axis with an explicit fixed binary tree.
+
+    jnp.sum/einsum reductions let the backend pick a shape-dependent
+    reduction order: XLA:CPU vectorizes a (8, n) reduce differently from a
+    (1, n) reduce, so identical per-stream values summed under different
+    stream-batch shapes could differ by an ulp - which avalanches through
+    the codec and breaks cross-topology archive portability. A halving tree
+    of elementwise adds pins one order for every shape and backend (zero
+    padding is exact). Used for every inexact float reduction in the
+    archive-affecting path."""
+    n = x.shape[-1]
+    p = 1 << max(n - 1, 0).bit_length()
+    if p != n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, p - n)])
+    while x.shape[-1] > 1:
+        h = x.shape[-1] // 2
+        x = x[..., :h] + x[..., h:]
+    return x[..., 0]
+
+
 def _tri_solve(Lmat: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Solve y = d + L_strict @ y, i.e. (I - tril(L, -1)) y = d, batched.
 
@@ -582,11 +616,14 @@ def _tri_solve(Lmat: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     if n <= 1:
         return d
     A = jnp.tril(Lmat, k=-1)
-    y = d + jnp.einsum("skj,sj->sk", A, d, preferred_element_type=F32)
+    # matvecs as fixed-tree sums (batch-shape-invariant, see _tree_sum); the
+    # A@A matmats keep einsum - their operands are tiny and the residual
+    # reassociation risk is documented at the _tree_sum docstring
+    y = d + _tree_sum(A * d[:, None, :])
     cover = 2  # y now includes A^0..A^(cover-1) d
     while cover < n:
         A = jnp.einsum("sij,sjk->sik", A, A, preferred_element_type=F32)
-        y = y + jnp.einsum("skj,sj->sk", A, y, preferred_element_type=F32)
+        y = y + _tree_sum(A * y[:, None, :])
         cover *= 2
     return y
 
@@ -874,7 +911,9 @@ def _byte_step(
         p_cur = jnp.sum(jnp.where(eq_state, p_tbl0, F32(0.0)), axis=2)
         if learn:
             same_pt = carry["pt_slot"] == st_eff[:, None, :]  # (S, 8, 2M)
-            p_cur = p_cur + jnp.sum(carry["pt_del"] * (same_pt & prev8), axis=1)
+            p_cur = p_cur + _tree_sum(
+                jnp.moveaxis(carry["pt_del"] * (same_pt & prev8), 1, -1)
+            )
         ind_preds = jnp.where(active_ind, p_cur, F32(0.0))  # (S, 2M) [ns | rm]
         # interleave to the prediction-column order [ns0, rm0, ns1, rm1, ...]
         ind_pair = jnp.stack([ind_preds[:, :M], ind_preds[:, M:]], axis=2).reshape(S, 2 * M)
@@ -907,7 +946,9 @@ def _byte_step(
             mp = jnp.sum(jnp.where(eq_len, mt_pred0, F32(0.0)), axis=2)
             if learn:
                 same_mp = carry["mp_slot"] == _iar(mlen)[:, None, :]  # (S, 8, NM)
-                mp = mp + jnp.sum(carry["mp_del"] * (same_mp & prev8), axis=1)
+                mp = mp + _tree_sum(
+                    jnp.moveaxis(carry["mp_del"] * (same_mp & prev8), 1, -1)
+                )
             p_prob = jnp.where((mbyte & pred_mask) != 0, mp, F32(1.0) - mp)
             match_preds = jnp.where(active, logit(p_prob), F32(0.0))
             longest = jnp.max((mlen // 32).astype(U32), axis=1)  # match.cpp:71-73
@@ -1007,21 +1048,21 @@ def _byte_step(
             [preds, jnp.zeros((S, n0), F32), pfx,
              jnp.zeros((S, WP - meta.n_pred - n0 - npf), F32)], axis=1
         )
-        d0 = jnp.einsum("skw,sw->sk", rows_f[:, :n0], base0, preferred_element_type=F32)
+        d0 = _tree_sum(rows_f[:, :n0] * base0[:, None, :])
         y0 = _tri_solve(rows_f[:, :n0, meta.n_pred : meta.n_pred + n0], d0) if n0 > 1 else d0
 
         base1 = jnp.concatenate(
             [y0, jnp.zeros((S, n1), F32), skip_preds, pfx,
              jnp.zeros((S, WP - n0 - n1 - nskip - npf), F32)], axis=1
         )
-        d1 = jnp.einsum("skw,sw->sk", rows_f[:, n0 : n0 + n1], base1, preferred_element_type=F32)
+        d1 = _tree_sum(rows_f[:, n0 : n0 + n1] * base1[:, None, :])
         y1 = _tri_solve(rows_f[:, n0 : n0 + n1, n0 : n0 + n1], d1) if n1 > 1 else d1
 
         base2 = jnp.concatenate(
             [y0, y1, skip_preds, pfx,
              jnp.zeros((S, WP - n0 - n1 - nskip - npf), F32)], axis=1
         )
-        final_logit = jnp.einsum("sw,sw->s", rows_f[:, K - 1], base2, preferred_element_type=F32)
+        final_logit = _tree_sum(rows_f[:, K - 1] * base2)
         prob = clamp_prob(logistic(final_logit))
 
         # ---- SSE/APM refinement chain (config.ApmStage): interpolated
@@ -1186,7 +1227,7 @@ def _byte_step(
             # mixer Learn (mixer.cpp:108-176): in-register row updates;
             # only the bit-varying rows scatter per sub-step
             steps_f = bits_seen.astype(F32)
-            decay_global = F32(0.9) / jnp.power(F32(1e-7) * steps_f + F32(0.8), F32(0.8))
+            decay_global = F32(0.9) / pow_det(F32(1e-7) * steps_f + F32(0.8), 0.8)
             y_all = jnp.concatenate([y0, y1, final_logit[:, None]], axis=1)  # (S, K)
             novelty = F32(1.5) - stepv.astype(F32) / max_steps.astype(F32)
             upd = (

@@ -82,3 +82,19 @@ def test_entropy_reported():
     compress_bytes(data, spec, 2, 128, pred=pred)
     ent = entropy_bits(pred)
     assert 0 < ent < 8.0 * 1100  # less than 8 bits/byte incl. padding
+
+
+def test_tiny_spec_covers_all_mixer_placement_classes():
+    """Guard for VERDICT r4 weak #3: the CPU suite's invariants are only as
+    strong as tiny_spec's coverage. Every one of the five mixer placement
+    classes (core/meta.py: stable / pos / ctx-dense / pos-dense / lm) must be
+    populated, so roundtrip/checkpoint/copy tests exercise each arena path."""
+    from gmix_tpu.core.meta import build_meta
+
+    for lstm in (False, True):
+        meta = build_meta(g.tiny_spec(with_lstm=lstm))
+        assert len(meta.mix_st_ix) > 0, "no stable-arena mixer in tiny_spec"
+        assert len(meta.mix_pos_ix) > 0, "no pos-arena (pos+table) mixer"
+        assert len(meta.mix_cd_ix) > 0, "no ctx-dense mixer"
+        assert len(meta.mix_pd_ix) > 0, "no pos-dense mixer"
+        assert len(meta.mix_lm_ix) > 0, "no longest_match mixer"
