@@ -76,6 +76,14 @@ U32 = jnp.uint32
 I32 = jnp.int32
 
 
+def use_fused(meta) -> bool:
+    """GMIX_FUSED=1 routes the 8 bit sub-steps through the fused Pallas
+    kernel (core/fused.py). Off by default until flipped per-backend; the
+    choice must be consistent between a stream's encode and decode (the
+    Mosaic compiler may round fused multiply-adds differently from XLA)."""
+    return os.environ.get("GMIX_FUSED") == "1"
+
+
 def _set(d: Dict, **kw) -> Dict:
     out = dict(d)
     out.update(kw)
@@ -1307,46 +1315,158 @@ def _byte_step(
             max_steps=max_steps,
         )
 
-    if bit_scan:
-        carry, _ = jax.lax.scan(
-            lambda c, jj: (sub_step(c, jj), None),
-            carry,
-            jnp.arange(8, dtype=U32),
-        )
-    else:
-        for j in range(8):
-            carry = sub_step(carry, j)
-    stm, coder, metrics = carry["stm"], carry["coder"], carry["metrics"]
-    rows_stable = carry["rows_stable"]
-    rows_pos, rows_cd = carry["rows_pos"], carry["rows_cd"]
-    blocks_pd, lm_tbls = carry["blocks_pd"], carry["lm_tbls"]
-    max_steps = carry["max_steps"]
-    cur_byte = stm["acc"]  # all 8 bits accumulated = the completed byte
-    bitregs = carry["bitregs"]
-    longest = bitregs[:, 3]
+    if use_fused(meta) and not bit_scan and sample_u is None:
+        # ---- fused Pallas path: the whole 8-sub-step loop (and the deferred
+        # write application) runs as ONE kernel with every working set
+        # VMEM-resident; expressions identical to sub_step (core/fused.py).
+        # Everything before (gathers) and after (scatters, byte-end) is
+        # unchanged XLA. ----
+        from .fused import call_fused
 
-    # ---- apply the deferred per-bit table writes: ONE dense pass per array
-    # per byte instead of 8 (see the carry comment above); the j-sum fuses
-    # into a single elementwise kernel over each (S, *, 256) array ----
-    if learn:
-        ib = ind_blk.astype(I32)
-        pt = p_tbl
-        for jj in range(8):
-            ib = ib + carry["ib_del"][:, jj, :, None] * (
-                lane_i == carry["ib_lane"][:, jj, :, None]
-            )
-            pt = pt + carry["pt_del"][:, jj, :, None] * (
-                lane_i == carry["pt_slot"][:, jj, :, None]
-            )
-        ind_blk = ib.astype(jnp.uint16)
-        p_tbl = pt
+        fin = {
+            "sc": jnp.stack(
+                [
+                    data_byte,
+                    stm["last_byte"],
+                    stm["recent"][:, 1],
+                    jnp.broadcast_to(decode.astype(U32), (S,)),
+                    jnp.broadcast_to((t > 0).astype(U32), (S,)),
+                    jnp.zeros((S,), U32),
+                    jnp.zeros((S,), U32),
+                    jnp.zeros((S,), U32),
+                ],
+                axis=1,
+            ),
+            "coder": jnp.stack(
+                [coder["x1"], coder["x2"], coder["x"], coder["wpos"],
+                 coder["rpos"], stm["acc"], stm["bits_seen"], stm["new_bit"]],
+                axis=1,
+            ),
+            "win_r": jnp.pad(win_r, ((0, 0), (0, 64 - _CODER_WIN))),
+            "ent": metrics["ent"][:, None],
+            "max_steps": max_steps,
+        }
+        if M:
+            fin["ind_blk"] = ind_blk.astype(I32)
+            fin["ind_rot"] = ind_rot
+            fin["p_tbl"] = p_tbl
+        if Kst:
+            fin["rows_st"] = rows_stable
+        if Kp:
+            fin["rows_pos"] = rows_pos.reshape(S, Kp * 8, WP)
+        if Kcd:
+            fin["rows_cd"] = rows_cd
+        if Kpd:
+            fin["blocks_pd"] = blocks_pd.reshape(S, Kpd * 8, WP)
+        if Klm:
+            fin["lm_tbl"] = jnp.concatenate(lm_tbls, axis=1)
+        if spec.apm:
+            fin["apm_rows"] = apm_rows0
+        if spec.ppm is not None:
+            fin["ppm_probs"] = stm["ppm_probs"]
+            fin["ppm_regs"] = jnp.stack(
+                [stm["ppm_top"], stm["ppm_bot"], stm["ppm_mid"],
+                 jnp.zeros((S,), I32)], axis=1)
+        if spec.lstm is not None:
+            fin["lstm_probs"] = stm["lstm"]["probs"]
+            fin["lstm_regs"] = jnp.stack(
+                [stm["lstm"]["top"], stm["lstm"]["bot"], stm["lstm"]["mid"],
+                 jnp.zeros((S,), I32)], axis=1)
         if spec.matches:
-            mtp, mtc = mt_pred, mt_cnt
+            fin["match_len"] = stm["match_len"]
+            fin["match_byte"] = stm["match_byte"]
+            fin["mt_pred"] = mt_pred
+            fin["mt_cnt"] = mt_cnt
+        if analysis:
+            fin["ema"] = metrics["ema"]
+
+        fo = call_fused(spec, learn, analysis, S, fin)
+
+        co = fo["coder"]
+        coder = {"x1": co[:, 0], "x2": co[:, 1], "x": co[:, 2],
+                 "wpos": co[:, 3], "rpos": co[:, 4]}
+        stm = _set(stm, acc=co[:, 5], bits_seen=co[:, 6], new_bit=co[:, 7])
+        metrics = _set(metrics, ent=fo["ent"][:, 0])
+        if analysis:
+            metrics = _set(metrics, ema=fo["ema"])
+        bitregs = fo["bitregs"][:, :4]
+        if spec.ppm is not None:
+            pr = fo["ppm_regs"]
+            stm = _set(stm, ppm_top=pr[:, 0], ppm_bot=pr[:, 1], ppm_mid=pr[:, 2])
+        if spec.lstm is not None:
+            lr_ = fo["lstm_regs"]
+            stm = _set(stm, lstm=_set(stm["lstm"], top=lr_[:, 0], bot=lr_[:, 1], mid=lr_[:, 2]))
+        if spec.matches:
+            stm = _set(stm, match_len=fo["match_len"])
+        if learn:
+            if M:
+                ind_blk = fo["ind_blk"].astype(jnp.uint16)
+                p_tbl = fo["p_tbl"]
+            if Kst:
+                rows_stable = fo["rows_st"]
+            if Kp:
+                rows_pos = fo["rows_pos"].reshape(S, Kp, 8, WP)
+            if Kcd:
+                rows_cd = fo["rows_cd"]
+            if Kpd:
+                blocks_pd = fo["blocks_pd"].reshape(S, Kpd, 8, WP)
+            if Klm:
+                lm_all = fo["lm_tbl"]
+                offs = np.concatenate([[0], np.cumsum(np.asarray(meta.mix_lm_sizes))]).astype(int)
+                lm_tbls = tuple(lm_all[:, offs[i] : offs[i + 1]] for i in range(Klm))
+            max_steps = fo["max_steps"]
+            if spec.matches:
+                mt_pred, mt_cnt = fo["mt_pred"], fo["mt_cnt"]
+            if spec.apm:
+                apm_rows_final = fo["apm_rows"]
+        win_w_final = fo["win_w"][:, :_CODER_WIN]
+        cur_byte = stm["acc"]
+        longest = bitregs[:, 3].astype(U32)
+    else:
+        if bit_scan:
+            carry, _ = jax.lax.scan(
+                lambda c, jj: (sub_step(c, jj), None),
+                carry,
+                jnp.arange(8, dtype=U32),
+            )
+        else:
+            for j in range(8):
+                carry = sub_step(carry, j)
+        stm, coder, metrics = carry["stm"], carry["coder"], carry["metrics"]
+        rows_stable = carry["rows_stable"]
+        rows_pos, rows_cd = carry["rows_pos"], carry["rows_cd"]
+        blocks_pd, lm_tbls = carry["blocks_pd"], carry["lm_tbls"]
+        max_steps = carry["max_steps"]
+        cur_byte = stm["acc"]  # all 8 bits accumulated = the completed byte
+        bitregs = carry["bitregs"]
+        longest = bitregs[:, 3]
+        if spec.apm and learn:
+            apm_rows_final = carry["apm_rows"]
+        win_w_final = carry["win_w"]
+
+        # ---- apply the deferred per-bit table writes: ONE dense pass per
+        # array per byte instead of 8 (see the carry comment above); the
+        # j-sum fuses into a single elementwise kernel over each (S, *, 256)
+        # array ----
+        if learn:
+            ib = ind_blk.astype(I32)
+            pt = p_tbl
             for jj in range(8):
-                eq = lane_i == carry["mp_slot"][:, jj, :, None]
-                mtp = mtp + carry["mp_del"][:, jj, :, None] * eq
-                mtc = mtc + carry["mc_del"][:, jj, :, None] * eq
-            mt_pred, mt_cnt = mtp, mtc
+                ib = ib + carry["ib_del"][:, jj, :, None] * (
+                    lane_i == carry["ib_lane"][:, jj, :, None]
+                )
+                pt = pt + carry["pt_del"][:, jj, :, None] * (
+                    lane_i == carry["pt_slot"][:, jj, :, None]
+                )
+            ind_blk = ib.astype(jnp.uint16)
+            p_tbl = pt
+            if spec.matches:
+                mtp, mtc = mt_pred, mt_cnt
+                for jj in range(8):
+                    eq = lane_i == carry["mp_slot"][:, jj, :, None]
+                    mtp = mtp + carry["mp_del"][:, jj, :, None] * eq
+                    mtc = mtc + carry["mc_del"][:, jj, :, None] * eq
+                mt_pred, mt_cnt = mtp, mtc
 
     # ---- coder window emit: the renorm bytes of this input byte leave the
     # program as scan OUTPUTS (a dense per-byte write) instead of a scatter
@@ -1357,7 +1477,7 @@ def _byte_step(
     # device buffer, so the old sticky-overflow flag is gone. Decode emits
     # zeros (ignored). ----
     nwritten = coder["wpos"] - wpos0  # (S,)
-    win_out = carry["win_w"].astype(jnp.uint8)  # (S, _CODER_WIN)
+    win_out = win_w_final.astype(jnp.uint8)  # (S, _CODER_WIN)
     nw_out = nwritten.astype(jnp.uint8)
 
     # ---- final per-bit context values -> ctx array (checkpoint consistency:
@@ -1407,7 +1527,7 @@ def _byte_step(
         if spec.matches:
             ltm = _set(ltm, match_pred=mt_pred, match_cnt=mt_cnt)
         if spec.apm:
-            ltm = _set(ltm, apm=scatter_rows(ltm["apm"], apm_ix, carry["apm_rows"]))
+            ltm = _set(ltm, apm=scatter_rows(ltm["apm"], apm_ix, apm_rows_final))
         hist_n = stm["hist_n"]
         append = longest < 2
         hpos = jnp.where(append, hist_n & U32(meta.history_size - 1), U32(meta.history_size))
@@ -1588,6 +1708,8 @@ def default_bit_scan() -> bool:
     env = os.environ.get("GMIX_BIT_SCAN")
     if env is not None:
         return env == "1"
+    if os.environ.get("GMIX_FUSED") == "1":
+        return False  # the fused kernel replaces the unrolled sub-steps
     return jax.default_backend() != "tpu"
 
 
