@@ -31,10 +31,22 @@ gathers are expressed as static column stacks.
 
 Reference mapping: the per-bit hot loop src/runner/runner-utils.cpp:50-65 /
 predictor.cpp:360-387, restructured as SURVEY.md 7 prescribes.
+
+STATUS (round 5, measured on the v5e): the kernel compiles and round-trips
+exactly (tiny full-feature spec, encode+decode byte-identical). At the bench
+shape (scaled-11, S=128, B=8 stream blocks) it runs 3324 us/byte vs the jnp
+path's 2097 us/byte: the 16 sequential grid steps each pay the kernel's many
+small one-hot placement matmuls, and B=16 blocks exceed the 16 MB VMEM
+budget (B must be a multiple of 8 by Mosaic's block-divisibility rule, so
+B=8 is also the floor). The win this kernel was built for - one VMEM round
+trip per working set per byte - is real, but unlocking it needs
+input/output aliasing or segment-dot restructuring to fit B>=16; kept
+opt-in (GMIX_FUSED=1) with that as the known next step.
 """
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, List, Tuple
 
 import jax
@@ -73,6 +85,44 @@ def _tree_sum(x: jnp.ndarray) -> jnp.ndarray:
         h = x.shape[-1] // 2
         x = x[..., :h] + x[..., h:]
     return x[..., 0]
+
+
+def _tree_sum_ax1(x: jnp.ndarray) -> jnp.ndarray:
+    """Fixed-tree sum over axis 1 of a (B, 8, X) array by static slicing -
+    the float result is identical to _tree_sum(moveaxis(x, 1, -1)) (same
+    pairing), but avoids a small-minor-dim transpose that crashes Mosaic's
+    layout inference."""
+    while x.shape[1] > 1:
+        h = x.shape[1] // 2
+        x = x[:, :h] + x[:, h:]
+    return x[:, 0]
+
+
+def _place(parts, total):
+    """Assemble a (..., total) lane vector from (array, lane_offset) parts
+    via one-hot placement matmuls: out lane (off+k) receives arr[..., k].
+    Each output lane sums exactly one nonzero product, so values are exact.
+    (Both jnp.pad and jnp.concatenate on the minor dim lower to a Mosaic
+    concatenate that crashes on operands with lane-offset layouts; the MXU
+    dot path lowers cleanly.)"""
+    out = None
+    for arr, off in parts:
+        w = arr.shape[-1]
+        if w == 0:
+            continue
+        ki = jax.lax.broadcasted_iota(I32, (w, total), 0)
+        wi = jax.lax.broadcasted_iota(I32, (w, total), 1)
+        pm = jnp.where(wi == ki + off, 1.0, 0.0).astype(arr.dtype)
+        pa = jnp.einsum("...k,kw->...w", arr, pm, preferred_element_type=arr.dtype)
+        out = pa if out is None else out + pa
+    return out
+
+
+def _cat(parts, axis=1):
+    """Concatenate, dropping zero-sized operands (Mosaic requires positive
+    vector sizes)."""
+    parts = [p for p in parts if p.shape[axis] > 0]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
 
 
 def _strict_lower(n: int) -> jnp.ndarray:
@@ -251,9 +301,25 @@ def _kernel_body(meta: Meta, learn: bool, analysis: bool, in_specs, out_specs, r
         match_byte = r["match_byte"][:]
         match_limits = r["match_limits"][:]  # (1, NM)
     rows_stable = r["rows_st"][:] if Kst else jnp.zeros((B, 0, WP), F32)
-    rows_pos = r["rows_pos"][:].reshape(B, Kp, 8, WP) if Kp else jnp.zeros((B, 0, 8, WP), F32)
+    # per-bit-position python lists: all j-indexed reads/writes are static
+    # slices/concats (Mosaic has neither scatter nor dynamic_update_slice)
+    if Kp:
+        _rp = r["rows_pos"][:]  # (B, Kp*8, WP), kp-major
+        rows_pos_j = [
+            jnp.stack([_rp[:, kp * 8 + jj] for kp in range(Kp)], axis=1)
+            for jj in range(8)
+        ]
+    else:
+        rows_pos_j = [jnp.zeros((B, 0, WP), F32)] * 8
     rows_cd = r["rows_cd"][:] if Kcd else jnp.zeros((B, 0, WP), F32)
-    blocks_pd = r["blocks_pd"][:].reshape(B, Kpd, 8, WP) if Kpd else jnp.zeros((B, 0, 8, WP), F32)
+    if Kpd:
+        _bp = r["blocks_pd"][:]  # (B, Kpd*8, WP), kpd-major
+        blocks_pd_j = [
+            jnp.stack([_bp[:, kp * 8 + jj] for kp in range(Kpd)], axis=1)
+            for jj in range(8)
+        ]
+    else:
+        blocks_pd_j = [jnp.zeros((B, 0, WP), F32)] * 8
     if Klm:
         lm_all = r["lm_tbl"][:]
         lm_offs = np.concatenate([[0], np.cumsum(np.asarray(meta.mix_lm_sizes))]).astype(int)
@@ -262,7 +328,7 @@ def _kernel_body(meta: Meta, learn: bool, analysis: bool, in_specs, out_specs, r
         lm_tbls = ()
     max_steps = r["max_steps"][:]
     if NA:
-        apm_rows = r["apm_rows"][:]
+        apm_st = [r["apm_rows"][:][:, a] for a in range(NA)]  # (B, 8*APM_BINS) each
     if spec.ppm is not None:
         ppm_probs = r["ppm_probs"][:]
         pr = r["ppm_regs"][:]
@@ -302,7 +368,12 @@ def _kernel_body(meta: Meta, learn: bool, analysis: bool, in_specs, out_specs, r
 
     sl_is = jax.lax.broadcasted_iota(I32, (1, 1, WP), 2) == SL
 
-    for j in range(8):
+    # staged truncation for Mosaic-bug bisection (GMIX_FUSED_DBG):
+    # 1 = I/O only, 2 = + model predictions & coder, 3 = + mixer forward,
+    # 4 = + APM, 99 (default) = full kernel
+    _dbg = int(os.environ.get("GMIX_FUSED_DBG", "99"))
+
+    for j in (range(8) if _dbg >= 2 else range(0)):
         prev8 = arange8 < j  # (1, 8, 1) bool
         inc = jnp.where(not_first | (j > 0), 1, 0).astype(U32)
         bits_seen = bits_seen + inc
@@ -316,15 +387,23 @@ def _kernel_body(meta: Meta, learn: bool, analysis: bool, in_specs, out_specs, r
             eq_lane = lane_u == lane_sel[:, :, None]
             pair = jnp.sum(jnp.where(eq_lane, ind_blk0, 0), axis=2)
             ns_raw, rm_raw = pair & 255, pair >> 8
-            active_ind = jnp.concatenate([ns_raw != 255, rm_raw != 0], axis=1)
+            # int concat + compare: concatenating BOOL vectors crashes
+            # Mosaic ("Invalid vector register cast")
+            active_ind = jnp.concatenate(
+                [(ns_raw != 255).astype(I32), (rm_raw != 0).astype(I32)], axis=1
+            ) == 1
             st_eff = jnp.concatenate([jnp.where(ns_raw == 255, 0, ns_raw), rm_raw], axis=1)
             eq_state = lane_i == st_eff[:, :, None]
             p_cur = jnp.sum(jnp.where(eq_state, p_tbl0, 0.0), axis=2)
             if learn:
                 same_pt = pt_slot == st_eff[:, None, :]
-                p_cur = p_cur + _tree_sum(jnp.moveaxis(pt_del * (same_pt & prev8), 1, -1))
+                p_cur = p_cur + _tree_sum_ax1(pt_del * (same_pt & prev8))
             ind_preds = jnp.where(active_ind, p_cur, 0.0)
-            ind_pair = jnp.stack([ind_preds[:, :M], ind_preds[:, M:]], axis=2).reshape(B, 2 * M)
+            # static column interleave ([ns|rm] halves -> ns0,rm0,ns1,rm1...):
+            # Mosaic's layout inference rejects the (B,M,2)->(B,2M) reshape
+            ind_pair = jnp.stack(
+                [ind_preds[:, (k % 2) * M + k // 2] for k in range(2 * M)], axis=1
+            )
         else:
             ind_pair = jnp.zeros((B, 0), F32)
 
@@ -341,10 +420,11 @@ def _kernel_body(meta: Meta, learn: bool, analysis: bool, in_specs, out_specs, r
             mp = jnp.sum(jnp.where(eq_len, mt_pred0, 0.0), axis=2)
             if learn:
                 same_mp = mp_slot == mlen[:, None, :]
-                mp = mp + _tree_sum(jnp.moveaxis(mp_del * (same_mp & prev8), 1, -1))
+                mp = mp + _tree_sum_ax1(mp_del * (same_mp & prev8))
             p_prob = jnp.where((match_byte & pred_mask) != 0, mp, 1.0 - mp)
             match_preds = jnp.where(active, logit(p_prob), 0.0)
-            longest = jnp.max((mlen // 32).astype(U32), axis=1)
+            # i32 reduce then cast: Mosaic has no unsigned-int reductions
+            longest = jnp.max(mlen // 32, axis=1).astype(U32)
         else:
             match_preds = jnp.zeros((B, 0), F32)
 
@@ -360,71 +440,92 @@ def _kernel_body(meta: Meta, learn: bool, analysis: bool, in_specs, out_specs, r
                 lstm_probs, l_top, l_bot, l_mid, new_bit, j == 0
             )
             head.append(lg[:, None])
-        preds = jnp.concatenate(head + [ind_pair, match_preds], axis=1)
+        hp = [(h, i) for i, h in enumerate(head)]
+        nh = len(head)
+        preds = _place(
+            hp + [(ind_pair, nh), (match_preds, nh + ind_pair.shape[1])],
+            meta.n_pred,
+        )
 
         # ---- mixers forward (mixer.cpp:51-106) ----
-        skip_preds = (
-            jnp.stack([preds[:, int(c)] for c in spec.skip_connection_cols], axis=1)
-            if nskip
-            else jnp.zeros((B, 0), F32)
-        )
-        parts = [rows_stable]
-        if Kp:
-            parts.append(rows_pos[:, :, j])
-        parts.append(rows_cd)
-        if Kpd:
-            parts.append(blocks_pd[:, :, j])
-        lm_ohs = []
-        if Klm:
-            lm_rows = []
-            for i in range(Klm):
-                T = lm_tbls[i].shape[1]
-                oh = jax.lax.broadcasted_iota(U32, (1, T), 1) == longest[:, None]
-                lm_ohs.append(oh)
-                lm_rows.append(jnp.sum(jnp.where(oh[:, :, None], lm_tbls[i], 0.0), axis=1))
-            parts.append(jnp.stack(lm_rows, axis=1))
-        rows_cat = jnp.concatenate(parts, axis=1)
-        inv_perm = np.asarray(meta.mix_perm)  # concat[perm] = k-order
-        rows = jnp.stack([rows_cat[:, int(inv_perm[k])] for k in range(K)], axis=1)
-        stepv = jax.lax.bitcast_convert_type(rows[:, :, SL], U32)
-        rows_f = jnp.where(sl_is, 0.0, rows)
-
-        if meta.prefix_lane0 >= 0:
-            i8 = jax.lax.broadcasted_iota(I32, (1, 8), 1)
-            sh = jnp.clip(j - 1 - i8, 0, 31).astype(U32)
-            bits8 = (acc[:, None] >> sh) & 1
-            pfx = jnp.where(i8 < j, 2.0 * bits8.astype(F32) - 1.0, 0.0)
-            npf = 8
+        if _dbg < 3:
+            pp = jnp.pad(preds, [(0, 0), (0, 128 - preds.shape[1])])
+            while pp.shape[-1] > 1:
+                hh = pp.shape[-1] // 2
+                pp = pp[..., :hh] + pp[..., hh:]
+            final_logit = pp[..., 0]
+            y0 = jnp.zeros((B, n0), F32)
+            y1 = jnp.zeros((B, n1), F32)
+            prob = clamp_prob(logistic(final_logit))
         else:
-            pfx = jnp.zeros((B, 0), F32)
-            npf = 0
+            skip_preds = (
+                jnp.stack([preds[:, int(c)] for c in spec.skip_connection_cols], axis=1)
+                if nskip
+                else jnp.zeros((B, 0), F32)
+            )
+            parts = [rows_stable]
+            if Kp:
+                parts.append(rows_pos_j[j])
+            parts.append(rows_cd)
+            if Kpd:
+                parts.append(blocks_pd_j[j])
+            lm_ohs = []
+            if Klm:
+                lm_rows = []
+                for i in range(Klm):
+                    T = lm_tbls[i].shape[1]
+                    # 3D one-hot built at rank (bool minor-dim insertion is not
+                    # lowerable): (1, T, 1) iota vs (B, 1, 1) value
+                    oh3 = (jax.lax.broadcasted_iota(U32, (1, T, 1), 1)
+                           == longest[:, None, None])
+                    lm_ohs.append(oh3)
+                    lm_rows.append(jnp.sum(jnp.where(oh3, lm_tbls[i], 0.0), axis=1))
+                parts.append(jnp.stack(lm_rows, axis=1))
+            # per-column sources in concat order (3D axis-1 concats hit a
+            # Mosaic "offset mismatch" bug; stacks of 2D columns lower fine)
+            srcs = (
+                [rows_stable[:, i] for i in range(Kst)]
+                + [rows_pos_j[j][:, i] for i in range(Kp)]
+                + [rows_cd[:, i] for i in range(Kcd)]
+                + [blocks_pd_j[j][:, i] for i in range(Kpd)]
+                + lm_rows
+            )
+            inv_perm = np.asarray(meta.mix_perm)  # concat[perm] = k-order
+            rows = jnp.stack([srcs[int(inv_perm[k])] for k in range(K)], axis=1)
+            stepv = jax.lax.bitcast_convert_type(rows[:, :, SL], U32)
+            rows_f = jnp.where(sl_is, 0.0, rows)
 
-        base0 = jnp.concatenate(
-            [preds, jnp.zeros((B, n0), F32), pfx,
-             jnp.zeros((B, WP - meta.n_pred - n0 - npf), F32)], axis=1
-        )
-        d0 = _tree_sum(rows_f[:, :n0] * base0[:, None, :])
-        y0 = _tri_solve(rows_f[:, :n0, meta.n_pred : meta.n_pred + n0], d0) if n0 > 1 else d0
-        base1 = jnp.concatenate(
-            [y0, jnp.zeros((B, n1), F32), skip_preds, pfx,
-             jnp.zeros((B, WP - n0 - n1 - nskip - npf), F32)], axis=1
-        )
-        d1 = _tree_sum(rows_f[:, n0 : n0 + n1] * base1[:, None, :])
-        y1 = _tri_solve(rows_f[:, n0 : n0 + n1, n0 : n0 + n1], d1) if n1 > 1 else d1
-        base2 = jnp.concatenate(
-            [y0, y1, skip_preds, pfx,
-             jnp.zeros((B, WP - n0 - n1 - nskip - npf), F32)], axis=1
-        )
-        final_logit = _tree_sum(rows_f[:, K - 1] * base2)
-        prob = clamp_prob(logistic(final_logit))
+            if meta.prefix_lane0 >= 0:
+                i8 = jax.lax.broadcasted_iota(I32, (1, 8), 1)
+                sh = jnp.clip(j - 1 - i8, 0, 31).astype(U32)
+                bits8 = (acc[:, None] >> sh) & 1
+                pfx = jnp.where(i8 < j, 2.0 * bits8.astype(I32).astype(F32) - 1.0, 0.0)
+                npf = 8
+            else:
+                pfx = jnp.zeros((B, 0), F32)
+                npf = 0
+
+            base0 = _place([(preds, 0), (pfx, meta.n_pred + n0)], WP)
+            d0 = _tree_sum(rows_f[:, :n0] * base0[:, None, :])
+            y0 = _tri_solve(rows_f[:, :n0, meta.n_pred : meta.n_pred + n0], d0) if n0 > 1 else d0
+            base1 = _place(
+                [(y0, 0), (skip_preds, n0 + n1), (pfx, n0 + n1 + nskip)], WP
+            )
+            d1 = _tree_sum(rows_f[:, n0 : n0 + n1] * base1[:, None, :])
+            y1 = _tri_solve(rows_f[:, n0 : n0 + n1, n0 : n0 + n1], d1) if n1 > 1 else d1
+            base2 = _place(
+                [(y0, 0), (y1, n0), (skip_preds, n0 + n1), (pfx, n0 + n1 + nskip)], WP
+            )
+            final_logit = _tree_sum(rows_f[:, K - 1] * base2)
+            prob = clamp_prob(logistic(final_logit))
 
         # ---- SSE/APM chain (config.ApmStage) ----
-        if NA:
+        if NA and _dbg >= 4:
             nb_lane = jax.lax.broadcasted_iota(I32, (1, APM_BINS), 1)
             apm_slices, apm_wvs, apm_pvs = [], [], []
             apm_l, apm_p = final_logit, prob
             for a in range(NA):
-                row = apm_rows[:, a, j * APM_BINS : (j + 1) * APM_BINS]
+                row = apm_st[a][:, j * APM_BINS : (j + 1) * APM_BINS]
                 pos = (jnp.clip(apm_l, -APM_SPAN, APM_SPAN) + APM_SPAN) * (
                     (APM_BINS - 1) / (2 * APM_SPAN)
                 )
@@ -446,7 +547,7 @@ def _kernel_body(meta: Meta, learn: bool, analysis: bool, in_specs, out_specs, r
         # python-literal masks; integer math is exact so the values are
         # identical to the jnp path) ----
         enc_bit = (data_byte >> (7 - j)) & 1
-        p16 = (1.0 + 65534.0 * prob).astype(U32)
+        p16 = (1.0 + 65534.0 * prob).astype(I32).astype(U32)  # via i32: Mosaic lacks f32->u32
         d_rng = x2 - x1
         xmid = x1 + (d_rng >> 16) * p16 + (((d_rng & 0xFFFF) * p16) >> 16)
         dec_bit = (x <= xmid).astype(U32)
@@ -457,7 +558,9 @@ def _kernel_body(meta: Meta, learn: bool, analysis: bool, in_specs, out_specs, r
         k4 = jax.lax.broadcasted_iota(U32, (1, 4), 1)
         off_r = (rpos - rpos0)[:, None] + k4
         sel_r = off_r[:, :, None] == win_lanes[None, :, :]  # (B,4,WIN_PAD)
-        in_bytes = jnp.sum(jnp.where(sel_r, win_r[:, None, :], 0), axis=2).astype(U32)
+        in_bytes = jnp.sum(
+            jnp.where(sel_r, win_r.astype(I32)[:, None, :], 0), axis=2
+        ).astype(U32)  # i32 reduce: Mosaic has no unsigned-int reductions
         emits = []
         nrenorm = jnp.zeros((B,), I32)
         for i in range(4):
@@ -468,43 +571,61 @@ def _kernel_body(meta: Meta, learn: bool, analysis: bool, in_specs, out_specs, r
             x = jnp.where(cond & decode, (x << 8) | in_bytes[:, i], x)
             nrenorm = nrenorm + cond.astype(I32)
         emits = jnp.stack(emits, axis=1)  # (B, 4)
-        valid = (k4 < nrenorm.astype(U32)[:, None]) & jnp.logical_not(decode)[:, None]
+        dec_col = sc[:, SC_DECODE : SC_DECODE + 1]  # (B, 1) u32
+        valid = (k4 < nrenorm.astype(U32)[:, None]) & (dec_col == 0)
         off_w = (wpos - wpos0)[:, None] + k4
         sel_w = off_w[:, :, None] == win_lanes[None, :, :]
+        valid3 = (k4[:, :, None] < nrenorm.astype(U32)[:, None, None]) & (
+            dec_col[:, :, None] == 0
+        )
         win_w = win_w + jnp.sum(
-            jnp.where(sel_w & valid[:, :, None], emits[:, :, None], 0), axis=1
-        ).astype(U32)
+            jnp.where(sel_w & valid3, emits.astype(I32)[:, :, None], 0),
+            axis=1,
+        ).astype(U32)  # i32 reduce: Mosaic has no unsigned-int reductions
         wpos = wpos + jnp.where(decode, 0, nrenorm).astype(U32)
         rpos = rpos + jnp.where(decode, nrenorm, 0).astype(U32)
 
         p_bit = jnp.where(bit == 1, prob, 1.0 - prob)
         ent = ent - jnp.log2(p_bit)
         if analysis:
-            col_logits = jnp.concatenate([preds, y0, y1, final_logit[:, None]], axis=1)
+            col_logits = _place(
+                [(preds, 0), (y0, meta.n_pred), (y1, meta.n_pred + n0),
+                 (final_logit[:, None], meta.n_pred + n0 + n1)],
+                meta.n_pred + n0 + n1 + 1,
+            )
             p_cols = jnp.clip(logistic(col_logits), 0.01, 0.99)
-            pb_cols = jnp.where((bit == 1)[:, None], p_cols, 1.0 - p_cols)
+            pb_cols = jnp.where(bit[:, None] == 1, p_cols, 1.0 - p_cols)
             ema = ema + 1e-5 * (-jnp.log2(pb_cols) - ema)
 
-        bitf = bit.astype(F32)
+        bitf = bit.astype(I32).astype(F32)
 
-        if learn and NA:
+        if learn and NA and _dbg >= 4:
             for a in range(NA):
                 new_row = apm_slices[a] + float(meta.apm_lrs[a]) * (
                     bitf - apm_pvs[a]
                 )[:, None] * apm_wvs[a]
-                apm_rows = apm_rows.at[:, a, j * APM_BINS : (j + 1) * APM_BINS].set(new_row)
+                keep = jax.lax.broadcasted_iota(I32, (1, 8 * APM_BINS), 1)
+                inj = (keep >= j * APM_BINS) & (keep < (j + 1) * APM_BINS)
+                apm_st[a] = jnp.where(
+                    inj, _place([(new_row, j * APM_BINS)], 8 * APM_BINS), apm_st[a]
+                )
 
         if learn and M:
             delta = (bitf[:, None] - logistic(p_cur)) * ind_lrs
-            bsel = (bit == 1)[:, None, None]
+            bsel = bit[:, None, None] == 1  # expand the u32, not the bool
+
             ns_nx = jnp.where(bsel, ns_next[1][None, None, :], ns_next[0][None, None, :])
             rm_nx = jnp.where(bsel, rm_next[1][None, None, :], rm_next[0][None, None, :])
             new_ns = jnp.sum(jnp.where(eq_state[:, :M], ns_nx, 0), axis=2)
             new_rm = jnp.sum(jnp.where(eq_state[:, M:], rm_nx, 0), axis=2)
             new_pair = new_ns | (new_rm << 8)
 
+            sel_j = arange8 == j  # (1, 8, 1)
+
             def put8(stack, col):
-                return stack.at[:, j].set(col.astype(stack.dtype))
+                # where-select over the 8-axis: Mosaic lowers neither
+                # scatter nor dynamic_update_slice
+                return jnp.where(sel_j, col.astype(stack.dtype)[:, None, :], stack)
 
             ib_lane = put8(ib_lane, lane_sel.astype(I32))
             ib_del = put8(ib_del, new_pair - pair)
@@ -514,7 +635,7 @@ def _kernel_body(meta: Meta, learn: bool, analysis: bool, in_specs, out_specs, r
             if NM:
                 hit2 = (bit[:, None] == ((match_byte & pred_mask) != 0).astype(U32)).astype(F32)
                 cnt = jnp.sum(jnp.where(eq_len, mt_cnt0, 0), axis=2)
-                cnt = cnt + jnp.sum(mc_del * (same_mp & prev8), axis=1)
+                cnt = cnt + _tree_sum_ax1(mc_del * (same_mp & prev8))
                 grow = cnt < match_limits
                 cnt_new = jnp.where(grow, cnt + 1, cnt)
                 lr = 1.0 / jnp.where(grow, cnt_new, match_limits).astype(F32)
@@ -526,21 +647,34 @@ def _kernel_body(meta: Meta, learn: bool, analysis: bool, in_specs, out_specs, r
 
         if learn:
             # ---- mixer SGD (mixer.cpp:108-176; mirrors step.py exactly) ----
-            steps_f = bits_seen.astype(F32)
+            steps_f = bits_seen.astype(I32).astype(F32)  # via i32: Mosaic lacks u32->f32
             decay_global = 0.9 / pow_det(1e-7 * steps_f + 0.8, 0.8)
-            y_all = jnp.concatenate([y0, y1, final_logit[:, None]], axis=1)
-            novelty = 1.5 - stepv.astype(F32) / max_steps.astype(F32)
+            y_all = _place(
+                [(y0, 0), (y1, n0), (final_logit[:, None], n0 + n1)], K
+            )
+            novelty = 1.5 - stepv.astype(I32).astype(F32) / max_steps.astype(I32).astype(F32)
             upd = (
                 decay_global[:, None] * novelty * mix_lrs
                 * (logistic(y_all) - bitf[:, None])
             )
-            tril0 = _strict_lower(n0)
-            in0 = jnp.broadcast_to(base0[:, None, :], (B, n0, WP))
-            in0 = in0.at[:, :, meta.n_pred : meta.n_pred + n0].set(y0[:, None, :] * tril0[None])
-            tril1 = _strict_lower(n1)
-            in1 = jnp.broadcast_to(base1[:, None, :], (B, n1, WP))
-            in1 = in1.at[:, :, n0 : n0 + n1].set(y1[:, None, :] * tril1[None])
-            inputs = jnp.concatenate([in0, in1, base2[:, None, :]], axis=1)
+            # in-layer input block: base vector with lanes [off, off+n)
+            # replaced by the strict-lower y terms - built with a lane mask
+            # (broadcast_to of strided slices miscompiles in Mosaic)
+            lane_wp = jax.lax.broadcasted_iota(I32, (1, 1, WP), 2)
+
+            def layer_inputs(base, y, n, off):
+                if n == 0:
+                    return jnp.zeros((B, 0, WP), F32)
+                mid = _place([(y[:, None, :] * _strict_lower(n)[None], off)], WP)
+                inside = (lane_wp >= off) & (lane_wp < off + n)
+                return jnp.where(inside, mid, base[:, None, :] + jnp.zeros((B, n, WP), F32))
+
+            in0 = layer_inputs(base0, y0, n0, meta.n_pred)
+            in1 = layer_inputs(base1, y1, n1, n0)
+            inputs = jnp.stack(
+                [in0[:, i] for i in range(n0)] + [in1[:, i] for i in range(n1)]
+                + [base2], axis=1
+            )
             w_new = rows - upd[:, :, None] * inputs
             steps_new = stepv + 1
             wd = (steps_new & 1023) == 0
@@ -555,21 +689,24 @@ def _kernel_body(meta: Meta, learn: bool, analysis: bool, in_specs, out_specs, r
             if Kst:
                 rows_stable = cols(meta.mix_st_ix)
             if Kp:
-                rows_pos = rows_pos.at[:, :, j].set(cols(meta.mix_pos_ix))
+                rows_pos_j[j] = cols(meta.mix_pos_ix)
             if Kcd:
                 rows_cd = cols(meta.mix_cd_ix)
             if Kpd:
-                blocks_pd = blocks_pd.at[:, :, j].set(cols(meta.mix_pd_ix))
+                blocks_pd_j[j] = cols(meta.mix_pd_ix)
             if Klm:
                 lm_tbls = tuple(
                     jnp.where(
-                        lm_ohs[i][:, :, None],
+                        lm_ohs[i],
                         w_new[:, int(meta.mix_lm_ix[i])][:, None, :],
                         lm_tbls[i],
                     )
                     for i in range(Klm)
                 )
-            max_steps = jnp.maximum(max_steps, steps_new)
+            # i32 max then cast: Mosaic cannot legalize arith.maxui
+            max_steps = jnp.maximum(
+                max_steps.astype(I32), steps_new.astype(I32)
+            ).astype(U32)
 
         new_bit = bit
         acc = (acc << 1) | bit
@@ -579,16 +716,16 @@ def _kernel_body(meta: Meta, learn: bool, analysis: bool, in_specs, out_specs, r
         ib = ind_blk0
         pt = p_tbl0
         for jj in range(8):
-            ib = ib + ib_del[:, jj, :, None] * (lane_i == ib_lane[:, jj, :, None])
-            pt = pt + pt_del[:, jj, :, None] * (lane_i == pt_slot[:, jj, :, None])
+            ib = ib + ib_del[:, jj][:, :, None] * (lane_i == ib_lane[:, jj][:, :, None])
+            pt = pt + pt_del[:, jj][:, :, None] * (lane_i == pt_slot[:, jj][:, :, None])
         o["ind_blk"][:] = ib
         o["p_tbl"][:] = pt
     if learn and NM:
         mtp, mtc = mt_pred0, mt_cnt0
         for jj in range(8):
-            eq = lane_i == mp_slot[:, jj, :, None]
-            mtp = mtp + mp_del[:, jj, :, None] * eq
-            mtc = mtc + mc_del[:, jj, :, None] * eq
+            eq = lane_i == mp_slot[:, jj][:, :, None]
+            mtp = mtp + mp_del[:, jj][:, :, None] * eq
+            mtc = mtc + mc_del[:, jj][:, :, None] * eq
         o["mt_pred"][:] = mtp
         o["mt_cnt"][:] = mtc
 
@@ -606,16 +743,24 @@ def _kernel_body(meta: Meta, learn: bool, analysis: bool, in_specs, out_specs, r
         if Kst:
             o["rows_st"][:] = rows_stable
         if Kp:
-            o["rows_pos"][:] = rows_pos.reshape(B, Kp * 8, WP)
+            o["rows_pos"][:] = jnp.stack(
+                [rows_pos_j[jj][:, kp] for kp in range(Kp) for jj in range(8)], axis=1
+            )
         if Kcd:
             o["rows_cd"][:] = rows_cd
         if Kpd:
-            o["blocks_pd"][:] = blocks_pd.reshape(B, Kpd * 8, WP)
+            o["blocks_pd"][:] = jnp.stack(
+                [blocks_pd_j[jj][:, kp] for kp in range(Kpd) for jj in range(8)], axis=1
+            )
         if Klm:
-            o["lm_tbl"][:] = jnp.concatenate(lm_tbls, axis=1)
+            o["lm_tbl"][:] = (
+                lm_tbls[0] if Klm == 1 else jnp.stack(
+                    [t[:, i] for t in lm_tbls for i in range(t.shape[1])], axis=1
+                )
+            )
         o["max_steps"][:] = max_steps
         if NA:
-            o["apm_rows"][:] = apm_rows
+            o["apm_rows"][:] = jnp.stack(apm_st, axis=1)
     if spec.ppm is not None:
         z = jnp.zeros((B,), I32)
         o["ppm_regs"][:] = jnp.stack([ppm_top, ppm_bot, ppm_mid, z], axis=1)
@@ -667,8 +812,9 @@ def get_fused_fn(meta_key, learn: bool, analysis: bool, S: int, interpret: bool)
     from .meta import build_meta
 
     meta = build_meta(meta_key)
+    cap = int(os.environ.get("GMIX_FUSED_B", "8"))
     B = 1
-    while B * 2 <= min(S, 8) and S % (B * 2) == 0:
+    while B * 2 <= min(S, cap) and S % (B * 2) == 0:
         B *= 2
     ins, outs = _io_layout(meta, learn, analysis)
 
