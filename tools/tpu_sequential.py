@@ -182,9 +182,98 @@ def measure(profile: str, n: int, chunk: int) -> int:
     return 0 if exact else 1
 
 
+def measure_idle_lane(profile: str, n: int, chunk: int, do_decode: bool) -> int:
+    """Sequential measurement via an S=2 program with an IDLE second lane.
+
+    The full-profile S=1 TPU program miscompiles (numerical garbage past the
+    first ~8 KB; see data/parity.json sequential_s1.ref), while S>=2 programs
+    are healthy at full per-stream length. Streams are independent, so a
+    2-stream program whose second lane carries zero bytes evolves stream 0
+    EXACTLY like the sequential reference mode (runner-utils.cpp:43-67);
+    only stream 0's payload counts."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gmix_tpu.core.codec import Predictor, _WORST_PER_BYTE, run_chunks
+    from gmix_tpu.ops import coder as coder_ops
+    from gmix_tpu.state import state_bytes
+
+    spec = _spec(profile)
+    data = _corpus(n)
+    per = -(-n // chunk) * chunk
+    cap = int(per + per // 2 + _WORST_PER_BYTE * chunk + 4096)
+    arr = np.zeros((2, per), np.uint8)
+    arr[0, :n] = np.frombuffer(data, np.uint8)
+    key = profile + "_idle2"
+    rec = {
+        "status": "running", "corpus_bytes": n, "chunk": chunk,
+        "streams": "2 (lane 1 idle)", "ref_bpb_sequential": 1.9627,
+        "note": "S=2 program, idle second lane: stream 0's evolution is "
+                "bit-identical to sequential S=1 (the S=1 program itself "
+                "miscompiles on this XLA:TPU - see sequential_s1.ref)",
+    }
+    _record(key, rec)
+
+    pred = Predictor(spec, 2, analysis=False)
+    rec["state_gib"] = round(state_bytes(pred.state) / 2**30, 3)
+    t0 = time.time()
+    _, _, bodies = run_chunks(
+        pred, jnp.asarray(arr), jnp.zeros((2, cap), jnp.uint8), per,
+        decode=False, chunk=chunk,
+    )
+    coder = jax.device_get(pred.state["coder"])
+    tails = coder_ops.flush_bytes(coder["x1"], coder["x2"])
+    payload0 = bodies[0] + tails[0]
+    payload1 = bodies[1] + tails[1]
+    t_enc = time.time() - t0
+    ent0 = float(jax.device_get(pred.state["metrics"]["ent"])[0])
+    del pred
+    rec.update(
+        status="encoded",
+        bpb=round(8 * len(payload0) / n, 4),
+        model_bpb=round(ent0 / n, 4),
+        enc_s=round(t_enc, 1),
+    )
+    _record(key, rec)
+    print(f"{profile} idle-lane S=2: {rec['bpb']} bpb in {t_enc:.0f}s", flush=True)
+    if not do_decode:
+        rec["roundtrip"] = "not run (encode-only; see --decode)"
+        _record(key, rec)
+        return 0
+
+    pred = Predictor(spec, 2, analysis=False)
+    codes = np.zeros((2, cap), np.uint8)
+    codes[0, : len(payload0)] = np.frombuffer(payload0, np.uint8)
+    codes[1, : len(payload1)] = np.frombuffer(payload1, np.uint8)
+    x0 = np.zeros((2,), np.uint32)
+    for s in range(2):
+        for i in range(4):
+            x0[s] = (x0[s] << np.uint32(8)) | np.uint32(codes[s, i])
+    st = dict(pred.state)
+    st["coder"] = dict(st["coder"])
+    st["coder"]["x"] = jnp.asarray(x0)
+    st["coder"]["rpos"] = jnp.full((2,), 4, jnp.uint32)
+    pred.state = st
+    t0 = time.time()
+    db, _, _ = run_chunks(
+        pred, jnp.zeros((2, per), jnp.uint8), jnp.asarray(codes), per,
+        decode=True, chunk=chunk,
+    )
+    t_dec = time.time() - t0
+    out = np.asarray(jax.device_get(db))[0, :n].tobytes()
+    exact = out == data
+    rec.update(status="done", dec_s=round(t_dec, 1), roundtrip_exact=bool(exact))
+    _record(key, rec)
+    print(f"{profile} idle-lane: dec {t_dec:.0f}s exact={exact}", flush=True)
+    return 0 if exact else 1
+
+
 def main():
     args = [a for a in sys.argv[1:]]
     co = "--compile-only" in args
+    idle = "--idle-lane" in args
+    do_decode = "--decode" in args
     args = [a for a in args if not a.startswith("--")]
     profile = args[0] if args else "ref"
     assert profile in ("ref", "best"), profile
@@ -192,6 +281,8 @@ def main():
     chunk = int(os.environ.get("GMIX_SEQ_CHUNK", 4000))
     if co:
         return compile_only(profile, chunk)
+    if idle:
+        return measure_idle_lane(profile, n, chunk, do_decode)
     return measure(profile, n, chunk)
 
 
