@@ -72,9 +72,14 @@ def main():
     n_bench = int(os.environ.get("GMIX_WARM_BENCH_BYTES", 1 << 22))
     spec = bench_mod._spec_for(bits)
 
-    # ---- phase 1: one sequential pretrain pass with snapshots ----
+    # ---- phase 1: one sequential pretrain pass with snapshots. Runs as an
+    # S=2 program with an idle second lane (single-stream TPU programs
+    # miscompile past a few hundred KB - sequential_s1.ref); lane 0 is
+    # sliced for the broadcast. ----
+    import numpy as np
+
     data = _corpus(max(sizes))
-    pred = Predictor(spec, 1, analysis=False)
+    pred = Predictor(spec, 2, analysis=False)
     done = 0
     t0 = time.time()
     snap_paths = {}
@@ -83,18 +88,19 @@ def main():
         seg_n = (len(seg) // chunk) * chunk
         if seg_n:
             # continue the same predictor over the next prefix segment
-            from gmix_tpu.core.codec import _pad_streams, run_chunks, _WORST_PER_BYTE
+            from gmix_tpu.core.codec import run_chunks, _WORST_PER_BYTE
 
-            arr, per = _pad_streams(seg[:seg_n], 1, chunk)
-            cap = int(per + per // 2 + _WORST_PER_BYTE * chunk + 4096)
+            arr = np.zeros((2, seg_n), np.uint8)
+            arr[0] = np.frombuffer(seg[:seg_n], np.uint8)
+            cap = int(seg_n + seg_n // 2 + _WORST_PER_BYTE * chunk + 4096)
             run_chunks(
-                pred, jnp.asarray(arr), jnp.zeros((1, cap), jnp.uint8), per,
+                pred, jnp.asarray(arr), jnp.zeros((2, cap), jnp.uint8), seg_n,
                 decode=False, chunk=chunk,
             )
             done = target - (len(seg) - seg_n)
         path = f"/tmp/warm_{target}.gxt"
         jax.block_until_ready(pred.state["metrics"]["ent"])
-        save_state(path, pred.state)
+        save_state(path, jax.tree_util.tree_map(lambda x: x[0:1], jax.device_get(pred.state)))
         snap_paths[target] = (path, done)
         sys.stderr.write(f"warm_sweep: snapshot {done} (~{target}) at {time.time()-t0:.0f}s\n")
     del pred
