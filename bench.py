@@ -114,7 +114,11 @@ def _pretrain_host_state(spec, warm_bytes: int, chunk: int):
     )
     host = jax.device_get(pred.state)
     del pred
-    return jax.tree_util.tree_map(lambda x: x[0:1], host)
+    # slice lane 0 (scalar leaves like the LSTM epoch pass through)
+    return jax.tree_util.tree_map(
+        lambda x: x[0:1] if getattr(x, "ndim", 0) >= 1 and x.shape[0] == 2 else x,
+        host,
+    )
 
 
 def _broadcast_warm(host_state, spec, S: int):

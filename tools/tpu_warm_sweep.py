@@ -100,7 +100,11 @@ def main():
             done = target - (len(seg) - seg_n)
         path = f"/tmp/warm_{target}.gxt"
         jax.block_until_ready(pred.state["metrics"]["ent"])
-        save_state(path, jax.tree_util.tree_map(lambda x: x[0:1], jax.device_get(pred.state)))
+        lane0 = jax.tree_util.tree_map(
+            lambda x: x[0:1] if getattr(x, "ndim", 0) >= 1 and x.shape[0] == 2 else x,
+            jax.device_get(pred.state),
+        )
+        save_state(path, lane0)
         snap_paths[target] = (path, done)
         sys.stderr.write(f"warm_sweep: snapshot {done} (~{target}) at {time.time()-t0:.0f}s\n")
     del pred
