@@ -260,8 +260,8 @@ def measure_idle_lane(profile: str, n: int, chunk: int, do_decode: bool) -> int:
         pred, jnp.zeros((2, per), jnp.uint8), jnp.asarray(codes), per,
         decode=True, chunk=chunk,
     )
-    t_dec = time.time() - t0
     out = np.asarray(jax.device_get(db))[0, :n].tobytes()
+    t_dec = time.time() - t0  # device_get blocks: full decode wall time
     exact = out == data
     rec.update(status="done", dec_s=round(t_dec, 1), roundtrip_exact=bool(exact))
     _record(key, rec)
