@@ -359,11 +359,11 @@ def main():
         "roundtrip_exact": bool(exact),
         "note": (
             "this is the THROUGHPUT operating point (many short parallel "
-            "streams with a broadcast warm-start); the compression-parity "
-            "configs live in data/quality_ablations.json - best measured: "
-            "apm2-10-50-8x4 (= config.best_spec) at 2.0153 bpb on corpus_1m "
-            "vs 2.0318 for the reference on the same 4-way-split input, "
-            "0.8% BETTER than the reference (README 'Compression parity')"
+            "streams with a broadcast warm-start); the quality records: "
+            "config.best_spec beats the reference UNCONDITIONALLY in its "
+            "own sequential mode (1.9451 vs 1.9627 bpb, roundtrip exact - "
+            "parity.json sequential_s1.best_idle2) and on the 4-way-split "
+            "input (2.0159 vs 2.0318, best_roundtrip)"
         ),
     }
     # Read-modify-write: the bench owns only its top-level keys; records

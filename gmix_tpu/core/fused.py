@@ -812,7 +812,7 @@ def get_fused_fn(meta_key, learn: bool, analysis: bool, S: int, interpret: bool)
     from .meta import build_meta
 
     meta = build_meta(meta_key)
-    cap = int(os.environ.get("GMIX_FUSED_B", "8"))
+    cap = int(os.environ.get("GMIX_FUSED_B", "16"))
     B = 1
     while B * 2 <= min(S, cap) and S % (B * 2) == 0:
         B *= 2
@@ -832,12 +832,23 @@ def get_fused_fn(meta_key, learn: bool, analysis: bool, S: int, interpret: bool)
     out_specs = [spec_for(tail, kind) for _, tail, _, kind in outs]
     out_shape = [jax.ShapeDtypeStruct((S,) + tail, dt) for _, tail, dt, _ in outs]
 
+    # alias every stream-blocked array that appears as both input and
+    # output: halves the kernel's VMEM footprint, which is what allows
+    # B=16 stream blocks (the callers always rebuild the input arrays, so
+    # donation is safe)
+    out_pos = {n: i for i, (n, _, _, k) in enumerate(outs) if k == "s"}
+    aliases = {}
+    for i, (n, tail, dt, kind) in enumerate(ins):
+        j = out_pos.get(n)
+        if kind == "s" and j is not None and outs[j][1] == tail and outs[j][2] == dt:
+            aliases[i] = j
     call = pl.pallas_call(
         kernel,
         grid=(S // B,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        input_output_aliases=aliases,
         interpret=interpret,
     )
 
