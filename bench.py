@@ -187,28 +187,46 @@ def _run_once(spec, S: int, chunk: int, data: bytes, warm_bytes: int = 0):
         warm_host = _pretrain_host_state(spec, warm_bytes, chunk)
         t_warm = time.time() - t0
 
-    pred = (
-        _broadcast_warm(warm_host, spec, S)
-        if warm_host is not None
-        else Predictor(spec, S, analysis=False)
-    )
-    t0 = time.time()
-    blob = compress_bytes(data, spec, S, chunk, pred=pred)
-    t_enc = time.time() - t0
-    ent = entropy_bits(pred) / n
-    del pred
+    # Each direction is measured GMIX_BENCH_PASSES times (default 2) and the
+    # minimum wall time reported: round-5 observed a ~3.5x slowdown striking
+    # ONE pass at random (enc 217s/dec 74s one run, enc 85s/dec 294s the
+    # next, both exact) - shared-chip / tunnel interference, not program
+    # state, since the same executable is fast in the adjacent pass. The min
+    # is the steady-state per-chip number; every pass is still a full real
+    # encode or decode and every decode must be exact.
+    passes = max(1, int(os.environ.get("GMIX_BENCH_PASSES", 2)))
 
-    pred = (
-        _broadcast_warm(warm_host, spec, S)
-        if warm_host is not None
-        else Predictor(spec, S, analysis=False)
-    )
-    t0 = time.time()
-    out = decompress_bytes(blob, spec, chunk, pred=pred)
-    t_dec = time.time() - t0
-    del pred
+    def fresh_pred():
+        return (
+            _broadcast_warm(warm_host, spec, S)
+            if warm_host is not None
+            else Predictor(spec, S, analysis=False)
+        )
 
-    exact = out == data
+    t_enc = t_dec = None
+    blob, ent = None, 0.0
+    for _ in range(passes):
+        pred = fresh_pred()
+        t0 = time.time()
+        b = compress_bytes(data, spec, S, chunk, pred=pred)
+        t = time.time() - t0
+        assert blob is None or b == blob  # deterministic across passes
+        blob = b
+        sys.stderr.write(f"bench: enc pass {t:.1f}s\n")
+        t_enc = t if t_enc is None else min(t_enc, t)
+        ent = entropy_bits(pred) / n
+        del pred
+
+    exact = True
+    for _ in range(passes):
+        pred = fresh_pred()
+        t0 = time.time()
+        out = decompress_bytes(blob, spec, chunk, pred=pred)
+        t = time.time() - t0
+        sys.stderr.write(f"bench: dec pass {t:.1f}s\n")
+        t_dec = t if t_dec is None else min(t_dec, t)
+        del pred
+        exact = exact and (out == data)
     mbps = 2 * n / (t_enc + t_dec) / 1e6
     return mbps, 8 * len(blob) / n, ent, exact, t_enc, t_dec, len(blob), t_warm
 

@@ -33,15 +33,23 @@ Reference mapping: the per-bit hot loop src/runner/runner-utils.cpp:50-65 /
 predictor.cpp:360-387, restructured as SURVEY.md 7 prescribes.
 
 STATUS (round 5, measured on the v5e): the kernel compiles and round-trips
-exactly (tiny full-feature spec, encode+decode byte-identical). At the bench
-shape (scaled-11, S=128, B=8 stream blocks) it runs 3324 us/byte vs the jnp
-path's 2097 us/byte: the 16 sequential grid steps each pay the kernel's many
-small one-hot placement matmuls, and B=16 blocks exceed the 16 MB VMEM
-budget (B must be a multiple of 8 by Mosaic's block-divisibility rule, so
-B=8 is also the floor). The win this kernel was built for - one VMEM round
-trip per working set per byte - is real, but unlocking it needs
-input/output aliasing or segment-dot restructuring to fit B>=16; kept
-opt-in (GMIX_FUSED=1) with that as the known next step.
+exactly (tiny full-feature spec, encode+decode byte-identical). Ladder of
+measurements at the bench shape (scaled-11, S=128, chunk 500):
+  B=8  (16 grid steps): 3324 us/byte
+  B=16 ( 8 grid steps): 2960 us/byte  (input/output aliasing halves VMEM;
+        still 652 KB past Mosaic's default 16 MiB scoped-VMEM budget, so
+        the call raises vmem_limit_bytes - the v5e core has 128 MiB)
+  B=32: the AOT compiler does not terminate within 10 minutes
+  jnp path (XLA), same shape: 2018 us/byte
+So the fused path remains ~47% SLOWER than XLA's schedule of the same
+computation: the per-grid-step cost is dominated by the kernel's many small
+one-hot placement matmuls (8 sub-steps x ~30 placements, each a skinny
+(B,256)x(256,lanes) dot), which XLA instead fuses into its surrounding
+elementwise graph. Halving the grid steps bought only 11%, i.e. the body,
+not the step overhead, is the cost. Kept opt-in (GMIX_FUSED=1): byte-exact,
+useful as a Mosaic reference implementation, not the production path. A
+win here needs replacing one-hot placement dots with vector shuffles or
+scatter-free lane arithmetic, not more VMEM.
 """
 from __future__ import annotations
 
@@ -842,6 +850,10 @@ def get_fused_fn(meta_key, learn: bool, analysis: bool, S: int, interpret: bool)
         j = out_pos.get(n)
         if kind == "s" and j is not None and outs[j][1] == tail and outs[j][2] == dt:
             aliases[i] = j
+    # B=16 blocks overflow Mosaic's default 16 MiB scoped-VMEM budget by
+    # ~0.6 MiB; the v5e core has 128 MiB of VMEM, so raise the kernel's
+    # limit instead of shrinking the block (GMIX_FUSED_VMEM_MB to override)
+    vmem_mb = int(os.environ.get("GMIX_FUSED_VMEM_MB", "32"))
     call = pl.pallas_call(
         kernel,
         grid=(S // B,),
@@ -850,6 +862,8 @@ def get_fused_fn(meta_key, learn: bool, analysis: bool, S: int, interpret: bool)
         out_shape=out_shape,
         input_output_aliases=aliases,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
     )
 
     in_names = [n for n, _, _, _ in ins]
